@@ -1,0 +1,42 @@
+"""Batched LU factorizations (north-star addition, BASELINE.json config 5:
+4096 x 256^2 batched LUs).
+
+The blocked driver uses only static shapes and functional updates, so it is
+directly ``jax.vmap``-compatible; the batch axis can additionally be sharded
+across a device mesh for data-parallel batched factorization (see
+``mpf_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+from mpf_tpu.precision import PrecisionPolicy, MPF_BF16
+from mpf_tpu.models.mpf import mpf_factorize_traced, MPFResult
+
+
+@functools.partial(jax.jit, static_argnames=("r", "policy", "pivot"))
+def batched_factorize(
+    a: jax.Array,
+    r: int = 128,
+    policy: PrecisionPolicy = MPF_BF16,
+    pivot: bool = True,
+) -> MPFResult:
+    """Factor a (batch, n, n) stack of matrices.  Returns stacked MPFResult."""
+    fn = lambda m: mpf_factorize_traced(m, r=r, policy=policy, pivot=pivot)
+    return jax.vmap(fn)(a)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "policy", "sweeps"))
+def batched_solve(a: jax.Array, b: jax.Array, r: int = 128,
+                  policy: PrecisionPolicy = MPF_BF16, sweeps: int = 2):
+    """Factor + IR-solve a (batch, n, n) stack against (batch, n) RHS."""
+    from mpf_tpu.models.refine import ir_solve
+
+    def one(m, rhs):
+        res = mpf_factorize_traced(m, r=r, policy=policy, pivot=True)
+        return ir_solve(m.astype(policy.working), res.lu, res.ipiv, rhs, sweeps=sweeps).x
+
+    return jax.vmap(one)(a, b)

@@ -1,0 +1,122 @@
+"""HPL-AI-style iterative refinement (north-star addition; ABSENT in the
+reference per SURVEY.md section 0).
+
+The low-precision factors (bf16 trailing GEMMs under the default policy)
+carry O(eps_bf16)-level backward error; Richardson iteration with fp32
+residuals recovers O(eps_fp32) solution backward error in a few sweeps
+(BASELINE.json gate: <= 3 sweeps).  For ill-conditioned systems
+(kappa ~ 1e6, BASELINE.json config 5) GMRES-IR — GMRES preconditioned by the
+LU solve — is the robust variant.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mpf_tpu.precision import PrecisionPolicy, MPF_BF16
+from mpf_tpu.models.mpf import mpf_factorize_traced, MPFResult
+from mpf_tpu.models.solve import getrs
+
+
+class IRResult(NamedTuple):
+    x: jax.Array          # refined solution (best iterate under the guard)
+    residual_norms: jax.Array  # (sweeps + 1,) ||b - A x||_2 per sweep (fp32)
+    sweeps: jax.Array     # sweeps actually improving (for reporting)
+    diverged: jax.Array   # bool: IR divergence detected (residual grew) —
+                          # the failure-detection signal the north star asks
+                          # for; callers should escalate to gmres_ir_solve or
+                          # refactor under MPF_REF/PURE_FP32
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps",))
+def ir_solve(
+    a: jax.Array,
+    lu: jax.Array,
+    ipiv: jax.Array,
+    b: jax.Array,
+    sweeps: int = 3,
+) -> IRResult:
+    """Richardson iterative refinement: x_{k+1} = x_k + solve(LU, b - A x_k).
+
+    ``a`` is the original (working-precision) matrix; residuals are computed
+    in fp32 with fp32 MXU accumulation.
+    """
+    a32 = a.astype(jnp.float32)
+    b32 = b.astype(jnp.float32)
+    x = getrs(lu, ipiv, b).astype(jnp.float32)
+    norms = []
+
+    def resid(x):
+        return b32 - jnp.dot(
+            a32, x, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        )
+
+    r0 = resid(x)
+    best_x, best_norm = x, jnp.linalg.norm(r0)
+    norms.append(best_norm)
+    for _ in range(sweeps):
+        d = getrs(lu, ipiv, r0.astype(lu.dtype)).astype(jnp.float32)
+        x = x + d
+        r0 = resid(x)
+        nrm = jnp.linalg.norm(r0)
+        norms.append(nrm)
+        better = nrm < best_norm
+        best_x = jnp.where(better, x, best_x)
+        best_norm = jnp.where(better, nrm, best_norm)
+    norms = jnp.stack(norms)
+    improving = jnp.sum((norms[1:] < norms[:-1]).astype(jnp.int32))
+    diverged = norms[-1] > norms[0]
+    return IRResult(x=best_x, residual_norms=norms, sweeps=improving, diverged=diverged)
+
+
+@functools.partial(jax.jit, static_argnames=("restart", "maxiter"))
+def gmres_ir_solve(
+    a: jax.Array,
+    lu: jax.Array,
+    ipiv: jax.Array,
+    b: jax.Array,
+    restart: int = 10,
+    maxiter: int = 3,
+) -> jax.Array:
+    """GMRES-IR: GMRES on A x = b, right-preconditioned by the LU solve —
+    for systems too ill-conditioned for plain Richardson sweeps."""
+    a32 = a.astype(jnp.float32)
+    b32 = b.astype(jnp.float32)
+
+    def mv(v):
+        return jnp.dot(
+            a32, v, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        )
+
+    def precond(v):
+        return getrs(lu, ipiv, v.astype(lu.dtype)).astype(jnp.float32)
+
+    x, _ = jax.scipy.sparse.linalg.gmres(
+        mv, b32, M=precond, restart=restart, maxiter=maxiter, solve_method="batched"
+    )
+    return x
+
+
+class SolveResult(NamedTuple):
+    x: jax.Array
+    factors: MPFResult
+    residual_norms: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("r", "policy", "sweeps"))
+def mpf_solve(
+    a: jax.Array,
+    b: jax.Array,
+    r: int = 128,
+    policy: PrecisionPolicy = MPF_BF16,
+    sweeps: int = 3,
+) -> SolveResult:
+    """End-to-end mixed-precision solve: MPF factorization + IR — the
+    flagship pipeline (factor fast in low precision, refine to fp32)."""
+    res = mpf_factorize_traced(a, r=r, policy=policy, pivot=True)
+    ir = ir_solve(a.astype(policy.working), res.lu, res.ipiv, b, sweeps=sweeps)
+    return SolveResult(x=ir.x, factors=res, residual_norms=ir.residual_norms)

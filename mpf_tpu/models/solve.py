@@ -1,0 +1,51 @@
+"""Triangular solves on the packed factors (getrs).
+
+The reference stops at the factorization (its oracle reconstructs P*L*U,
+`benchmark.cpp:106-144`); the solve path is required by the north star's
+iterative refinement.  LAPACK getrs conventions: apply the ipiv swaps to the
+right-hand side, then L (unit lower) and U solves.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from mpf_tpu.ops.pivoting import apply_row_swaps_vector
+
+
+def _as_matrix(b):
+    if b.ndim == 1:
+        return b[:, None], True
+    return b, False
+
+
+@jax.jit
+def getrs(lu: jax.Array, ipiv: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A x = b given the packed LU and 1-based global ipiv."""
+    b, was_vec = _as_matrix(b)
+    b = apply_row_swaps_vector(b, ipiv)
+    y = jax.lax.linalg.triangular_solve(
+        lu, b, left_side=True, lower=True, unit_diagonal=True
+    )
+    x = jax.lax.linalg.triangular_solve(lu, y, left_side=True, lower=False)
+    return x[:, 0] if was_vec else x
+
+
+@jax.jit
+def lu_solve(lu: jax.Array, ipiv: jax.Array, b: jax.Array) -> jax.Array:
+    """Alias for :func:`getrs` (scipy.linalg.lu_solve-style name)."""
+    return getrs(lu, ipiv, b)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def logdet(lu: jax.Array, ipiv: jax.Array):
+    """(sign, log|det|) from the packed factors — diag(U) and the swap parity."""
+    n = lu.shape[0]
+    d = jnp.diagonal(lu)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    nswaps = jnp.sum((ipiv - 1 != idx).astype(jnp.int32))
+    sign = jnp.prod(jnp.sign(d)) * jnp.where(nswaps % 2 == 0, 1.0, -1.0).astype(lu.dtype)
+    return sign, jnp.sum(jnp.log(jnp.abs(d)))
