@@ -1,0 +1,77 @@
+"""Headline benchmark: single-chip LU TFLOP/s (2n^3/3) with the default
+mixed-precision policy, vs XLA's built-in LU on the same chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+The reference publishes no numbers (BASELINE.md) — its benchmark harness
+times MPF vs LAPACKE_dgetrf per matrix (`benchmark.cpp:219-242`).  Here the
+baseline is ``jax.scipy.linalg.lu_factor`` (XLA's own LU) on identical
+hardware and input: vs_baseline > 1 means this library factors faster than
+the stock JAX/XLA path.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import mpf_tpu
+from mpf_tpu.precision import MPF_BF16
+from mpf_tpu.utils import matgen
+from mpf_tpu.utils.timing import time_fn, tflops
+from mpf_tpu.utils.oracle import check_factorization
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", "8192"))
+    r = int(os.environ.get("BENCH_R", "256"))
+    policy = MPF_BF16
+
+    a_np = matgen.hpl_ai_matrix(n, seed=0)
+    a = jnp.asarray(a_np)
+
+    fac = mpf_tpu.make_mpf(n, r=r, policy=policy, donate=False)
+    secs, res = time_fn(fac, a, warmup=1, iters=3)
+    ours = tflops(n, secs)
+
+    # correctness gate on a smaller instance (full oracle is O(n^3) on host)
+    n_chk = 2048
+    a_chk = matgen.hpl_ai_matrix(n_chk, seed=1)
+    res_chk = mpf_tpu.mpf_factorize(jnp.asarray(a_chk), r=r, policy=policy)
+    rep = check_factorization(
+        a_chk, np.asarray(res_chk.lu), np.asarray(res_chk.ipiv), nbe_tol=1e-3
+    )
+
+    # baseline: XLA's built-in LU on the same chip/input
+    base_fn = jax.jit(jax.scipy.linalg.lu_factor)
+    try:
+        bsecs, _ = time_fn(base_fn, a, warmup=1, iters=3)
+        base = tflops(n, bsecs)
+        vs = ours / base
+    except Exception:
+        base, vs = None, None
+
+    out = {
+        "metric": f"LU TFLOP/s/chip (2n^3/3), n={n}, r={r}, policy={policy.name}",
+        "value": round(ours, 3),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+        "baseline": f"jax.scipy.linalg.lu_factor same chip: {round(base,3) if base else None} TFLOP/s",
+        "seconds": round(secs, 4),
+        "oracle_nbe_n2048": rep.normwise_backward_err,
+        "oracle_ok": rep.ok,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,39 +32,48 @@ import jax
 import jax.numpy as jnp
 
 
-def panel_pivots(panel: jnp.ndarray, ncols: int | None = None) -> jnp.ndarray:
+def panel_pivots(
+    panel: jnp.ndarray, ncols: int | None = None, row_offset=0
+) -> jnp.ndarray:
     """Partial-pivoted LU of an (m, r) panel in its own (low) dtype; returns
-    only the local 0-based pivot rows, shape (r,) int32.
+    only the 0-based pivot rows (panel-array row indices), shape (r,) int32.
 
     ``ncols`` (static) limits the factorization to the first ``ncols``
     columns for ragged final panels; trailing entries of the result are the
-    identity (piv[j] = j).
+    identity (piv[j] = row_offset + j).
+
+    ``row_offset`` (static or traced int32) places the panel's diagonal at
+    array row ``row_offset`` instead of 0 — rows above it are frozen.  The
+    distributed driver passes the global panel with offset k*b so pivot
+    indices come back global.
     """
     m, r = panel.shape
     ncols = r if ncols is None else ncols
+    off = jnp.asarray(row_offset, dtype=jnp.int32)
     rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)[0, :]
 
     def body(j, carry):
         p, piv = carry
-        # (a)+(b): argmax of |column j| over rows >= j (first max wins ties)
+        d = off + j  # array row of the diagonal for column j
+        # (a)+(b): argmax of |column j| over rows >= d (first max wins ties)
         colv = jnp.abs(p[:, j].astype(jnp.float32))
-        colv = jnp.where(rows >= j, colv, jnp.float32(-1.0))
+        colv = jnp.where(rows >= d, colv, jnp.float32(-1.0))
         pj = jnp.argmax(colv).astype(jnp.int32)
         piv = piv.at[j].set(pj)
-        # (c): swap rows j <-> pj of the panel
-        row_j = p[j, :]
+        # (c): swap rows d <-> pj of the panel
+        row_d = p[d, :]
         row_p = p[pj, :]
-        p = p.at[j, :].set(row_p).at[pj, :].set(row_j)
+        p = p.at[d, :].set(row_p).at[pj, :].set(row_d)
         # (d): rank-1 elimination, multipliers stored in place
-        pivval = p[j, j]
-        mult = jnp.where(rows > j, p[:, j] / pivval, jnp.zeros_like(p[:, j]))
-        urow = jnp.where(cols > j, p[j, :], jnp.zeros_like(p[j, :]))
+        pivval = p[d, j]
+        mult = jnp.where(rows > d, p[:, j] / pivval, jnp.zeros_like(p[:, j]))
+        urow = jnp.where(cols > j, p[d, :], jnp.zeros_like(p[d, :]))
         p = p - jnp.outer(mult, urow).astype(p.dtype)
-        p = p.at[:, j].set(jnp.where(rows > j, mult, p[:, j]))
+        p = p.at[:, j].set(jnp.where(rows > d, mult, p[:, j]))
         return p, piv
 
-    piv0 = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)[:, 0]
+    piv0 = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)[:, 0] + off
     _, piv = jax.lax.fori_loop(0, ncols, body, (panel, piv0))
     return piv
 

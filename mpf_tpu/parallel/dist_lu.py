@@ -1,0 +1,207 @@
+"""Distributed blocked MPF LU over a 2D block-cyclic layout (shard_map).
+
+[north-star addition — the reference is strictly single-GPU (`MPF.cu:77`,
+no NCCL/MPI anywhere, SURVEY.md section 2); this is the ICI-collective
+redesign of its panel loop.]
+
+Per panel step k (block column of width b), executed SPMD on a (P, Q) mesh:
+
+  1. **panel gather** — the owning device column contributes its local
+     blocks of column k; ``psum`` over the column axis + ``all_gather`` over
+     the row axis replicates the full (N, b) panel on every device
+     (the ICI analogue of the reference's per-panel D2D panel extract,
+     `MPF.cu:108-115`).
+  2. **replicated panel factorization** — every device runs the same
+     pre-pivoting sequence on identical data (deterministic, so no pivot
+     broadcast is needed at all — the reference instead round-trips pivots
+     through the host, `MPF.cu:145-159`): low-precision pivot selection
+     (`hgetf2` analogue), sequential swaps, working-precision diag-block
+     refactor + L21 via triangular-inverse GEMM (`dgetf2_npv` analogue).
+  3. **cross-chip row swaps** — the <= 2b affected rows are exchanged with a
+     single masked ``psum`` over the row axis (the LASWP step, `MPF.cu:162`,
+     without materializing any permutation matrix).
+  4. **U12 broadcast** — the owning device row solves U12 = L11^{-1} A12 for
+     its local columns; a masked ``psum`` over the row axis replicates it.
+  5. **trailing update** — every device updates its local tile with one MXU
+     GEMM: A_loc -= L_panel[my rows] @ U12[my cols] (the reference's
+     cublasDgemm, `MPF.cu:230-239`), in the policy's GEMM precision.
+
+Everything lives inside one jitted ``lax.fori_loop`` — zero host sync
+points, fixed shapes, collectives ride ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from mpf_tpu.precision import PrecisionPolicy, MPF_BF16, cast_to_panel
+from mpf_tpu.models.mpf import MPFResult
+from mpf_tpu.ops.getf2 import panel_pivots, getf2_npv
+from mpf_tpu.ops.blas3 import unit_lower_inv, upper_inv, _mm_precision
+from mpf_tpu.parallel.mesh import ROW_AXIS, COL_AXIS
+from mpf_tpu.parallel.block_cyclic import (
+    check_dims,
+    to_block_cyclic,
+    from_block_cyclic,
+    local_row_indices,
+    local_col_indices,
+    owner_local_row,
+)
+
+
+def _dist_lu_local(tile, *, n, b, gp, gq, nb, policy, pivot):
+    """shard_map body: tile is this device's (1, 1, H, W) block-cyclic slab."""
+    aloc = tile[0, 0]
+    h, w = aloc.shape
+    pp = jax.lax.axis_index(ROW_AXIS)
+    qq = jax.lax.axis_index(COL_AXIS)
+    grows = local_row_indices(h, b, gp, pp)   # (H,) global row of each local row
+    gcols = local_col_indices(w, b, gq, qq)   # (W,) global col of each local col
+    nlp = h // b
+    rows_g = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    fprec = _mm_precision(aloc)
+
+    def step(k, carry):
+        aloc, ipiv, info = carry
+        off = k * b
+        qk = k % gq
+        pk = k % gp
+        jl = k // gq
+        il = k // gp
+
+        # -- 1. gather panel column (replicated (N, b)) --------------------
+        colsl = jax.lax.dynamic_slice(aloc, (0, jl * b), (h, b))
+        colsl = jnp.where(qq == qk, colsl, jnp.zeros_like(colsl))
+        colsl = jax.lax.psum(colsl, COL_AXIS)
+        parts = jax.lax.all_gather(colsl, ROW_AXIS)          # (P, H, b)
+        panel = (
+            parts.reshape(gp, nlp, b, b).transpose(1, 0, 2, 3).reshape(n, b)
+        )
+
+        # -- 2. replicated panel factorization -----------------------------
+        if pivot:
+            piv = panel_pivots(cast_to_panel(panel, policy), row_offset=off)
+        else:
+            piv = off + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
+
+        def swap_body(j, pnl):
+            d = off + j
+            s = piv[j]
+            rd = pnl[d, :]
+            rs = pnl[s, :]
+            return pnl.at[d, :].set(rs).at[s, :].set(rd)
+
+        panel = jax.lax.fori_loop(0, b, swap_body, panel)
+        diag = jax.lax.dynamic_slice(panel, (off, 0), (b, b))
+        diag_lu, info_k = getf2_npv(diag)
+        info = jnp.where((info == 0) & (info_k > 0), info_k + off, info)
+        l21 = jnp.dot(
+            panel, upper_inv(diag_lu), preferred_element_type=policy.accum,
+            precision=fprec,
+        ).astype(panel.dtype)
+        panel = jnp.where((rows_g >= off + b)[:, None], l21, panel)
+        panel = jax.lax.dynamic_update_slice(panel, diag_lu, (off, 0))
+        ipiv = jax.lax.dynamic_update_slice(ipiv, piv + 1, (off,))
+
+        # -- 3. cross-chip row swaps (LASWP) -------------------------------
+        def rm_body(j, rm):
+            d = off + j
+            s = piv[j]
+            x = rm[d]
+            y = rm[s]
+            return rm.at[d].set(y).at[s].set(x)
+
+        rowmap = jax.lax.fori_loop(0, b, rm_body, rows_g)
+        dests = off + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
+        cand = jnp.concatenate([dests, piv])                 # (2b,) global rows
+        src_g = jnp.take(rowmap, cand)
+        owner_s, lrow_s = owner_local_row(src_g, b, gp)
+        mine_s = owner_s == pp
+        srows = jnp.take(aloc, jnp.where(mine_s, lrow_s, 0), axis=0)
+        srows = jnp.where(mine_s[:, None], srows, jnp.zeros_like(srows))
+        srows = jax.lax.psum(srows, ROW_AXIS)                # (2b, W) replicated
+        owner_c, lrow_c = owner_local_row(cand, b, gp)
+        scatter_idx = jnp.where(owner_c == pp, lrow_c, h)    # h = drop
+        aloc = aloc.at[scatter_idx, :].set(srows, mode="drop")
+
+        # -- 4. panel writeback (owning device column) ---------------------
+        panel_mine = jnp.take(panel, grows, axis=0)          # (H, b) my rows
+        cur = jax.lax.dynamic_slice(aloc, (0, jl * b), (h, b))
+        aloc = jax.lax.dynamic_update_slice(
+            aloc, jnp.where(qq == qk, panel_mine, cur), (0, jl * b)
+        )
+
+        # -- 5. U12 = L11^{-1} A12, broadcast along the row axis -----------
+        rowsl = jax.lax.dynamic_slice(aloc, (il * b, 0), (b, w))
+        rowsl = jnp.where(pp == pk, rowsl, jnp.zeros_like(rowsl))
+        rowsl = jax.lax.psum(rowsl, ROW_AXIS)                # (b, W) replicated
+        u12 = jnp.dot(
+            unit_lower_inv(diag_lu), rowsl, preferred_element_type=policy.accum,
+            precision=fprec,
+        ).astype(aloc.dtype)
+        colmask = gcols >= off + b                           # (W,)
+        cur_row = jax.lax.dynamic_slice(aloc, (il * b, 0), (b, w))
+        new_row = jnp.where((pp == pk) & colmask[None, :], u12, cur_row)
+        aloc = jax.lax.dynamic_update_slice(aloc, new_row, (il * b, 0))
+
+        # -- 6. trailing update (one local MXU GEMM) -----------------------
+        lmine = jnp.where((grows >= off + b)[:, None], panel_mine, 0)
+        u12m = jnp.where(colmask[None, :], u12, 0)
+        upd = jnp.dot(
+            lmine.astype(policy.gemm_in),
+            u12m.astype(policy.gemm_in),
+            preferred_element_type=policy.accum,
+            precision=_mm_precision(lmine.astype(policy.gemm_in)),
+        )
+        aloc = (aloc.astype(policy.accum) - upd).astype(aloc.dtype)
+        return aloc, ipiv, info
+
+    ipiv0 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] + 1
+    aloc, ipiv, info = jax.lax.fori_loop(
+        0, nb, step, (aloc, ipiv0, jnp.int32(0))
+    )
+    return aloc[None, None], ipiv, info
+
+
+def make_dist_lu(n: int, b: int, mesh, policy: PrecisionPolicy = MPF_BF16,
+                 pivot: bool = True):
+    """Build the jitted SPMD factorizer over ``mesh`` for (P,Q,H,W) tiles.
+
+    Returns ``fn(tiles) -> (tiles_lu, ipiv, info)`` where ``ipiv``/``info``
+    are replicated.  Use :func:`mpf_tpu.parallel.block_cyclic.shard_block_cyclic`
+    to lay out the input.
+    """
+    gp, gq = mesh.shape[ROW_AXIS], mesh.shape[COL_AXIS]
+    nb = check_dims(n, b, gp, gq)
+    body = functools.partial(
+        _dist_lu_local, n=n, b=b, gp=gp, gq=gq, nb=nb, policy=policy, pivot=pivot
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(ROW_AXIS, COL_AXIS, None, None),),
+        out_specs=(P(ROW_AXIS, COL_AXIS, None, None), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def dist_factorize(
+    a: jax.Array,
+    mesh,
+    b: int = 128,
+    policy: PrecisionPolicy = MPF_BF16,
+    pivot: bool = True,
+) -> MPFResult:
+    """Factor a global (N, N) matrix over the mesh; returns a global-layout
+    MPFResult (convenience wrapper around :func:`make_dist_lu`)."""
+    n = a.shape[0]
+    gp, gq = mesh.shape[ROW_AXIS], mesh.shape[COL_AXIS]
+    tiles = to_block_cyclic(a.astype(policy.working), gp, gq, b)
+    fn = make_dist_lu(n, b, mesh, policy, pivot)
+    tiles_lu, ipiv, info = fn(tiles)
+    return MPFResult(lu=from_block_cyclic(tiles_lu, n, b), ipiv=ipiv, info=info)

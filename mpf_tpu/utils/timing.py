@@ -1,7 +1,14 @@
 """Timing / throughput helpers (reference: chrono wall-clock around MPF and
-dgetrf, `benchmark.cpp:219-222,239-242`; here with ``block_until_ready``
-bracketing and TFLOP/s derivation from the 2n^3/3 LU flop count, the
-BASELINE.json headline metric)."""
+dgetrf, `benchmark.cpp:219-222,239-242`).
+
+Measurement methodology for this environment: the TPU is reached through a
+tunnel where (a) ``block_until_ready`` does not actually synchronize and
+(b) device->host transfers run at ~10 MB/s, so fetching results would
+dominate any timing.  We therefore time a jitted wrapper that reduces the
+result to ONE scalar on device and fetch only that — the scalar transfer
+forces completion of the whole computation and costs microseconds of
+bandwidth.
+"""
 
 from __future__ import annotations
 
@@ -9,6 +16,7 @@ import time
 from typing import Callable, Tuple
 
 import jax
+import jax.numpy as jnp
 
 
 def lu_flops(n: int) -> float:
@@ -16,19 +24,28 @@ def lu_flops(n: int) -> float:
     return 2.0 * n**3 / 3.0
 
 
+def _fingerprint(tree) -> jnp.ndarray:
+    """Reduce an arbitrary pytree to one fp32 scalar on device."""
+    total = jnp.float32(0)
+    for leaf in jax.tree.leaves(tree):
+        total = total + jnp.sum(jnp.asarray(leaf).astype(jnp.float32))
+    return total
+
+
 def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 3) -> Tuple[float, object]:
-    """Median wall-clock seconds of ``fn(*args)`` with device-sync
-    bracketing.  Returns (seconds, last_result)."""
-    result = None
+    """Median wall-clock seconds of ``fn(*args)``, synchronized via a scalar
+    fingerprint fetch.  Returns (seconds, fingerprint_of_last_run)."""
+    g = jax.jit(lambda *a: _fingerprint(fn(*a)))
+    fp = None
     for _ in range(warmup):
-        result = jax.block_until_ready(fn(*args))
+        fp = float(g(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        result = jax.block_until_ready(fn(*args))
+        fp = float(g(*args))
         times.append(time.perf_counter() - t0)
     times.sort()
-    return times[len(times) // 2], result
+    return times[len(times) // 2], fp
 
 
 def tflops(n: int, seconds: float) -> float:

@@ -1,0 +1,65 @@
+"""Distributed 2D block-cyclic LU on the 8-device virtual CPU mesh
+(SURVEY.md section 4: multi-chip tests via host-platform device-count
+emulation)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpf_tpu import mpf_factorize, MPF_BF16, PURE_FP32
+from mpf_tpu.parallel.mesh import make_mesh
+from mpf_tpu.parallel.block_cyclic import to_block_cyclic, from_block_cyclic
+from mpf_tpu.parallel.dist_lu import dist_factorize
+from mpf_tpu.utils import matgen
+from mpf_tpu.utils.oracle import check_factorization
+
+
+def test_block_cyclic_roundtrip():
+    n, b, p, q = 48, 4, 2, 4
+    a = jnp.asarray(np.arange(n * n, dtype=np.float32).reshape(n, n))
+    t = to_block_cyclic(a, p, q, b)
+    assert t.shape == (p, q, (n // b // p) * b, (n // b // q) * b)
+    back = from_block_cyclic(t, n, b)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(a))
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (1, 8), (2, 2)])
+def test_dist_matches_single_chip_fp32(shape):
+    ndev = shape[0] * shape[1]
+    mesh = make_mesh(shape, devices=jax.devices()[:ndev])
+    n, b = 64, 8
+    a = matgen.random_dense(n, seed=11)
+    res_d = dist_factorize(jnp.asarray(a), mesh, b=b, policy=PURE_FP32)
+    res_s = mpf_factorize(jnp.asarray(a), r=b, policy=PURE_FP32)
+    assert int(res_d.info) == 0
+    np.testing.assert_array_equal(np.asarray(res_d.ipiv), np.asarray(res_s.ipiv))
+    np.testing.assert_allclose(
+        np.asarray(res_d.lu), np.asarray(res_s.lu), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_dist_oracle_bf16():
+    mesh = make_mesh((2, 4))
+    n, b = 96, 8
+    a = matgen.random_dense(n, seed=21)
+    res = dist_factorize(jnp.asarray(a), mesh, b=b, policy=MPF_BF16)
+    rep = check_factorization(a, np.asarray(res.lu), np.asarray(res.ipiv), nbe_tol=5e-4)
+    assert rep.ok, str(rep)
+
+
+def test_dist_no_pivot():
+    mesh = make_mesh((2, 2), devices=jax.devices()[:4])
+    n, b = 32, 4
+    rng = np.random.default_rng(0)
+    a = rng.random((n, n)).astype(np.float32) + n * np.eye(n, dtype=np.float32)
+    res = dist_factorize(jnp.asarray(a), mesh, b=b, policy=PURE_FP32, pivot=False)
+    np.testing.assert_array_equal(np.asarray(res.ipiv), np.arange(1, n + 1))
+    rep = check_factorization(a, np.asarray(res.lu), np.asarray(res.ipiv), nbe_tol=1e-5)
+    assert rep.ok, str(rep)
+
+
+def test_dist_bad_dims():
+    mesh = make_mesh((2, 4))
+    with pytest.raises(ValueError):
+        dist_factorize(jnp.zeros((30, 30)), mesh, b=4)
