@@ -1,0 +1,105 @@
+"""Benchmark harness CLI — behavioral equivalent of the reference's
+`benchmark.cpp:146-270`:
+
+    python -m mpf_tpu.cli.benchmark file [-v] [--no-check] [--r R] [--policy NAME]
+
+Per matrix in the corpus file: time the MPF factorization, time the host
+LAPACK baseline (``scipy.linalg.lu_factor``, the reference's
+`LAPACKE_dgetrf` at `benchmark.cpp:239-242`), check both against the P*L*U
+reconstruction oracle, and append ``matrix_size,mpf_time,lapack_time`` to
+``benchmark_times.csv`` (the reference CSV schema, `benchmark.cpp:168-169`)
+extended with TFLOP/s and backward-error columns (SURVEY.md section 5).
+
+``-v`` prints matrices (gated to n < 10 like the reference pretty-printers,
+`benchmark.cpp:14-57`); ``--no-check`` skips the oracle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _print_matrix(name, m):
+    print(f"{name}:")
+    for row in np.asarray(m):
+        print("  " + " ".join(f"{v:7.3f}" for v in row))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="mpf-benchmark")
+    ap.add_argument("file", help="corpus file (matrix_generator format)")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--no-check", action="store_true")
+    ap.add_argument("--r", type=int, default=32,
+                    help="panel width (reference hardcodes 32, benchmark.cpp:220)")
+    ap.add_argument("--policy", default="mpf_bf16")
+    ap.add_argument("--csv", default="benchmark_times.csv")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+    import scipy.linalg
+
+    from mpf_tpu import mpf_factorize
+    from mpf_tpu.precision import POLICIES
+    from mpf_tpu.utils import matio
+    from mpf_tpu.utils.oracle import check_factorization
+    from mpf_tpu.utils.timing import time_fn, tflops
+
+    if args.policy not in POLICIES:
+        print(f"Unknown policy {args.policy!r}; choose from {sorted(POLICIES)}")
+        return -1
+    policy = POLICIES[args.policy]
+    try:
+        matrices = matio.read_matrix_file(args.file)
+    except (OSError, ValueError) as e:
+        print(f"Failed to read {args.file}: {e}")  # `benchmark.cpp:163-166` style
+        return -1
+    print(f"{len(matrices)} matrices from {args.file}; policy={policy.name} r={args.r}")
+
+    with open(args.csv, "a") as csv:
+        csv.write("matrix_size,mpf_time,lapack_time,mpf_tflops,mpf_nbe,lapack_nbe\n")
+        for a in matrices:
+            n = a.shape[0]
+            a32 = jnp.asarray(a, dtype=jnp.float32)
+            if args.verbose and n < 10:
+                _print_matrix(f"A ({n}x{n})", a)
+
+            r = min(args.r, n)
+            fn = lambda x: mpf_factorize(x, r=r, policy=policy)
+            mpf_time, _ = time_fn(fn, a32, warmup=1, iters=3)
+            res = fn(a32)
+
+            t0 = time.perf_counter()
+            lu_ref, piv_ref = scipy.linalg.lu_factor(a)
+            lapack_time = time.perf_counter() - t0
+
+            mpf_nbe = lapack_nbe = float("nan")
+            if not args.no_check:
+                rep = check_factorization(
+                    a, np.asarray(res.lu), np.asarray(res.ipiv), nbe_tol=1e-3
+                )
+                mpf_nbe = rep.normwise_backward_err
+                if not rep.ok:
+                    print("MPF produced incorrect results.")  # `benchmark.cpp:231`
+                ipiv_l = piv_ref + 1  # scipy 0-based -> LAPACK 1-based
+                rep_l = check_factorization(a, lu_ref, ipiv_l, nbe_tol=1e-3)
+                lapack_nbe = rep_l.normwise_backward_err
+                if args.verbose and n < 10:
+                    _print_matrix("LU (mpf)", res.lu)
+
+            print(
+                f"n={n:6d}  mpf={mpf_time:.6f}s ({tflops(n, mpf_time):8.3f} TF/s)  "
+                f"lapack={lapack_time:.6f}s  nbe={mpf_nbe:.2e}"
+            )
+            csv.write(
+                f"{n},{mpf_time},{lapack_time},{tflops(n, mpf_time)},{mpf_nbe},{lapack_nbe}\n"
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

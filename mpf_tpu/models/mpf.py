@@ -10,15 +10,27 @@ int *IPIV)` (`MPF.cu:66-256`).  Per r-wide panel the reference does:
   4. re-factor the pre-pivoted panel in fp64 without pivoting (`MPF.cu:183`)
   5. TRSM + GEMM trailing update via cuBLAS (`MPF.cu:215-239`)
 
-Here the **entire factorization is one traced XLA computation**: the panel
-loop is unrolled at trace time with static (shrinking) shapes, so there are
-no host synchronization points at all — the reference pays a device->host
-pivot round-trip plus 5 `cudaDeviceSynchronize()` per panel
-(`MPF.cu:116-189`); we pay zero.  Precision translation per SURVEY.md:
-fp16 panel -> bf16, fp64 working -> fp32, fp64 accumulation -> fp32 MXU
-accumulation.
+Here the **entire factorization is one traced XLA computation** with
+two-level blocking:
 
-Shapes are static per panel, so the same driver works under ``jax.vmap``
+  * an **outer loop over block columns** of width ``block`` is unrolled at
+    trace time with static shrinking shapes, so the O(n^3)-dominant trailing
+    GEMMs compile at their true sizes (no masking overhead where it matters);
+  * an **inner ``lax.fori_loop`` over r-wide panels** factors each (m, block)
+    block column with fixed shapes and masked updates (the 2x flop overhead
+    of masking is confined to the O(n^2 * block) block-column work), keeping
+    compile time bounded for n in the tens of thousands;
+  * each panel step runs the reference's pipeline: low-precision pivot
+    selection (factors discarded, only pivots + the composed row map escape),
+    one bounded-gather LASWP, working-precision diag re-factorization, and
+    TRSM / trailing GEMM via triangular-inverse MXU GEMMs.
+
+The reference pays a device->host pivot round-trip plus 5
+`cudaDeviceSynchronize()` per panel (`MPF.cu:116-189`); this driver pays
+zero host syncs.  Precision translation per SURVEY.md: fp16 panel -> bf16,
+fp64 working -> fp32, fp64 accumulation -> fp32 MXU accumulation.
+
+Shapes are static everywhere, so the driver works under ``jax.vmap``
 (batched LUs) and inside ``shard_map`` shards.
 """
 
@@ -30,10 +42,34 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from mpf_tpu import config
 from mpf_tpu.precision import PrecisionPolicy, MPF_BF16, cast_to_panel
-from mpf_tpu.ops.getf2 import panel_pivots, getf2_npv
-from mpf_tpu.ops.pivoting import apply_row_swaps
-from mpf_tpu.ops.blas3 import trsm_u12, trsm_l21, trailing_update
+from mpf_tpu.ops.getf2 import panel_pivots_perm, getf2_npv
+from mpf_tpu.ops.blas3 import (
+    unit_lower_inv,
+    unit_lower_inv_blocked,
+    upper_inv,
+    _mm_precision,
+)
+
+
+def _auto_panel_kernel(m: int, rp: int):
+    """Pick the pre-pivoting panel implementation: the fused Pallas TPU
+    kernel when shapes meet its tiling constraints (16-row slab alignment),
+    else the jnp reference kernel."""
+    if config.use_pallas() and m % 16 == 0 and rp % 8 == 0:
+        from mpf_tpu.ops.panel_pallas import hgetf2_panel
+
+        return hgetf2_panel
+    return panel_pivots_perm
+
+
+def _auto_npv_kernel(rp: int):
+    if config.use_pallas() and rp % 8 == 0:
+        from mpf_tpu.ops.panel_pallas import getf2_npv_block
+
+        return getf2_npv_block
+    return getf2_npv
 
 
 class MPFResult(NamedTuple):
@@ -52,34 +88,107 @@ class MPFResult(NamedTuple):
     info: jax.Array
 
 
-def _panel_step(a, ipiv, info, k, cols, policy, pivot, panel_kernel):
-    """One blocked panel step at static offset ``k`` with static width ``cols``."""
-    n = a.shape[0]
+def _iota(n):
+    return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
 
+
+def _inner_panel_step(w, perm, piv_all, info, j0, rp, policy, pivot, panel_kernel):
+    """One r-wide panel step inside a block column.
+
+    ``w``: (m, bc) block-column workspace; ``j0``: traced column/diagonal
+    offset; ``rp``: static panel width.  Fixed shapes, masked updates.
+    """
+    m, bc = w.shape
+    rows = _iota(m)
+    cols = _iota(bc)
+    fprec = _mm_precision(w)
+
+    panel = jax.lax.dynamic_slice(w, (0, j0), (m, rp))
     if pivot:
-        # (1)+(2) low-precision pre-pivoting panel LU; factors discarded
-        panel = cast_to_panel(a[k:, k : k + cols], policy)
-        piv_local = panel_kernel(panel)
-        piv_global = piv_local[:cols] + jnp.int32(k)
-        ipiv = ipiv.at[k : k + cols].set(piv_global + 1)
-        # (3) LASWP over the full matrix width, sequential-swap semantics
-        a = apply_row_swaps(a, piv_global, k, cols)
+        kern = panel_kernel if panel_kernel is not None else _auto_panel_kernel(m, rp)
+        piv, pperm = kern(cast_to_panel(panel, policy), row_offset=j0)
+    else:
+        piv = j0 + _iota(rp)
+        pperm = rows
 
-    # (4) working-precision no-pivot re-factorization of the panel:
-    # r x r block by unblocked elimination, sub-diagonal part as a TRSM
-    blk, info_k = getf2_npv(a[k : k + cols, k : k + cols])
-    info = jnp.where((info == 0) & (info_k > 0), info_k + jnp.int32(k), info)
-    a = a.at[k : k + cols, k : k + cols].set(blk)
+    # LASWP over the block column: one bounded gather/scatter over the <=2r
+    # positions that can move (sequential-swap semantics preserved by the
+    # composed row map from the panel kernel)
+    cand = jnp.concatenate([j0 + _iota(rp), piv])
+    src = jnp.take(pperm, cand)
+    moved_rows = jnp.take(w, src, axis=0)
+    w = w.at[cand, :].set(moved_rows)
+    perm = jnp.take(perm, pperm)
+    piv_all = jax.lax.dynamic_update_slice(piv_all, piv, (j0,))
 
-    if k + cols < n:
-        l21 = trsm_l21(blk, a[k + cols :, k : k + cols], policy)
-        a = a.at[k + cols :, k : k + cols].set(l21)
-        # (5) TRSM for U12 + rank-r trailing GEMM on the MXU
-        u12 = trsm_u12(blk, a[k : k + cols, k + cols :], policy)
-        a = a.at[k : k + cols, k + cols :].set(u12)
-        a22 = trailing_update(a[k + cols :, k + cols :], l21, u12, policy)
-        a = a.at[k + cols :, k + cols :].set(a22)
-    return a, ipiv, info
+    # working-precision no-pivot re-factorization of the rp x rp diag block
+    diag = jax.lax.dynamic_slice(w, (j0, j0), (rp, rp))
+    diag_lu, info_k = _auto_npv_kernel(rp)(diag)
+    info = jnp.where((info == 0) & (info_k > 0), info_k + j0, info)
+    w = jax.lax.dynamic_update_slice(w, diag_lu, (j0, j0))
+
+    # L21 = A21 U11^{-1} (full-height masked GEMM)
+    colp = jax.lax.dynamic_slice(w, (0, j0), (m, rp))
+    l21 = jnp.dot(
+        colp, upper_inv(diag_lu), preferred_element_type=policy.accum, precision=fprec
+    ).astype(w.dtype)
+    below = rows >= j0 + rp
+    l21 = jnp.where(below[:, None], l21, colp)
+    w = jax.lax.dynamic_update_slice(w, l21, (0, j0))
+
+    # U12 within the block column (full-width masked)
+    rowp = jax.lax.dynamic_slice(w, (j0, 0), (rp, bc))
+    u12 = jnp.dot(
+        unit_lower_inv(diag_lu), rowp, preferred_element_type=policy.accum,
+        precision=fprec,
+    ).astype(w.dtype)
+    right = cols >= j0 + rp
+    u12 = jnp.where(right[None, :], u12, rowp)
+    w = jax.lax.dynamic_update_slice(w, u12, (j0, 0))
+
+    # trailing update within the block column (masked rank-rp MXU GEMM)
+    lm = jnp.where(below[:, None], l21, 0).astype(policy.gemm_in)
+    um = jnp.where(right[None, :], u12, 0).astype(policy.gemm_in)
+    upd = jnp.dot(
+        lm, um, preferred_element_type=policy.accum, precision=_mm_precision(lm)
+    )
+    w = (w.astype(policy.accum) - upd).astype(w.dtype)
+    return w, perm, piv_all, info
+
+
+def _factor_block_column(w, r, policy, pivot, panel_kernel):
+    """Partial-pivoted factorization of an (m, bc) block column.
+
+    Returns (factored w, composed row map perm (m,), window-local 0-based
+    pivots (bc,), window-local info)."""
+    m, bc = w.shape
+    perm0 = _iota(m)
+    piv0 = _iota(bc)
+    nfull, tail = divmod(bc, r)
+
+    def body(t, carry):
+        w, perm, piv_all, info = carry
+        return _inner_panel_step(
+            w, perm, piv_all, info, t * r, r, policy, pivot, panel_kernel
+        )
+
+    carry = (w, perm0, piv0, jnp.int32(0))
+    if nfull == 1:
+        carry = body(0, carry)  # avoid loop machinery for a single panel
+    elif nfull > 1:
+        carry = jax.lax.fori_loop(0, nfull, body, carry)
+    w, perm, piv_all, info = carry
+    if tail:
+        j0 = nfull * r
+        if m - j0 == 1:
+            # `panel_rows > 1` guard (`MPF.cu:104`): 1x1 tail needs no work;
+            # its pivot entry stays identity.
+            pass
+        else:
+            w, perm, piv_all, info = _inner_panel_step(
+                w, perm, piv_all, info, j0, tail, policy, pivot, panel_kernel
+            )
+    return w, perm, piv_all, info
 
 
 def mpf_factorize_traced(
@@ -87,43 +196,83 @@ def mpf_factorize_traced(
     r: int = 128,
     policy: PrecisionPolicy = MPF_BF16,
     pivot: bool = True,
+    block: int | None = None,
     panel_kernel=None,
 ) -> MPFResult:
-    """Trace-time body: blocked LU with the panel loop unrolled over static
-    shapes.  Call through :func:`mpf_factorize` / :func:`make_mpf` for the
-    jitted entry points.  ``panel_kernel`` overrides the pre-pivoting panel
-    implementation (default: the jnp reference kernel; the Pallas TPU kernel
-    plugs in here)."""
+    """Trace-time body: two-level blocked LU.  Call through
+    :func:`mpf_factorize` / :func:`make_mpf` for the jitted entry points.
+
+    ``panel_kernel(panel_lowprec, row_offset) -> (piv, perm)`` overrides the
+    pre-pivoting panel implementation (default: the jnp reference kernel;
+    the Pallas TPU kernel plugs in here).
+    """
     n = a.shape[0]
     if a.shape != (n, n):
         raise ValueError(f"expected square matrix, got {a.shape}")
     a = a.astype(policy.working)
-    if panel_kernel is None:
-        panel_kernel = panel_pivots
-    ipiv = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] + 1  # identity
+    if block is None:
+        block = max(r, min(n, 2048))
+    block = max(block, r)
+    fprec = _mm_precision(a)
+
+    ipiv = _iota(n) + 1  # identity init (`benchmark.cpp:215-217`)
     info = jnp.int32(0)
-    k = 0
-    while k < n:
-        cols = min(r, n - k)
+
+    for k in range(0, n, block):
+        bc = min(block, n - k)
         if n - k <= 1:
-            # `panel_rows > 1` guard (`MPF.cu:104`): a 1x1 tail needs no
-            # elimination; its ipiv entry stays identity.
             break
-        a, ipiv, info = _panel_step(a, ipiv, info, k, cols, policy, pivot, panel_kernel)
-        k += cols
+        w = a[k:, k : k + bc]
+        w, perm, piv_b, info_b = _factor_block_column(w, r, policy, pivot, panel_kernel)
+        a = a.at[k:, k : k + bc].set(w)
+        ipiv = ipiv.at[k : k + bc].set(piv_b + (k + 1))
+        info = jnp.where((info == 0) & (info_b > 0), info_b + k, info)
+
+        # LASWP on the rest of the matrix: one bounded gather over the <=2bc
+        # window positions that can have moved (full LAPACK row-swap
+        # semantics, `MPF.cu:42-59`, including already-factored L columns)
+        if pivot and (k > 0 or k + bc < n):
+            cand = jnp.concatenate([_iota(bc), piv_b])  # window-local positions
+            src = jnp.take(perm, cand)
+            if k > 0:
+                left = a[k:, :k]
+                a = a.at[cand + k, :k].set(jnp.take(left, src, axis=0))
+            if k + bc < n:
+                right = a[k:, k + bc :]
+                a = a.at[cand + k, k + bc :].set(jnp.take(right, src, axis=0))
+
+        if k + bc < n:
+            # U12 block: L11^{-1} A12 via log-depth blocked triangular inverse
+            linv = unit_lower_inv_blocked(w[:bc, :bc], base=min(r, 128))
+            a12 = a[k : k + bc, k + bc :]
+            u12 = jnp.dot(
+                linv, a12, preferred_element_type=policy.accum, precision=fprec
+            ).astype(a.dtype)
+            a = a.at[k : k + bc, k + bc :].set(u12)
+            # trailing update at true (static) sizes — the O(n^3) hot GEMM
+            l21 = w[bc:, :].astype(policy.gemm_in)
+            u12c = u12.astype(policy.gemm_in)
+            upd = jnp.dot(
+                l21, u12c, preferred_element_type=policy.accum,
+                precision=_mm_precision(l21),
+            )
+            a22 = (a[k + bc :, k + bc :].astype(policy.accum) - upd).astype(a.dtype)
+            a = a.at[k + bc :, k + bc :].set(a22)
+
     return MPFResult(lu=a, ipiv=ipiv, info=info)
 
 
-@functools.partial(jax.jit, static_argnames=("r", "policy", "pivot"))
+@functools.partial(jax.jit, static_argnames=("r", "policy", "pivot", "block"))
 def mpf_factorize(
     a: jax.Array,
     r: int = 128,
     policy: PrecisionPolicy = MPF_BF16,
     pivot: bool = True,
+    block: int | None = None,
 ) -> MPFResult:
     """Jitted blocked MPF factorization (the library entry point, reference
     `MPF.h:3`)."""
-    return mpf_factorize_traced(a, r=r, policy=policy, pivot=pivot)
+    return mpf_factorize_traced(a, r=r, policy=policy, pivot=pivot, block=block)
 
 
 def make_mpf(
@@ -131,6 +280,7 @@ def make_mpf(
     r: int = 128,
     policy: PrecisionPolicy = MPF_BF16,
     pivot: bool = True,
+    block: int | None = None,
     panel_kernel=None,
     donate: bool = True,
 ):
@@ -139,6 +289,8 @@ def make_mpf(
     A, `MPF.h:3`)."""
 
     def fn(a):
-        return mpf_factorize_traced(a, r=r, policy=policy, pivot=pivot, panel_kernel=panel_kernel)
+        return mpf_factorize_traced(
+            a, r=r, policy=policy, pivot=pivot, block=block, panel_kernel=panel_kernel
+        )
 
     return jax.jit(fn, donate_argnums=(0,) if donate else ())

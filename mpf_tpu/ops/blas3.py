@@ -47,6 +47,38 @@ def unit_lower_inv(l11: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def unit_lower_inv_blocked(l11: jnp.ndarray, base: int = 128) -> jnp.ndarray:
+    """Inverse of a unit-lower-triangular block by recursive 2x2 block
+    partitioning — log-depth, all the O(n^3) work in MXU GEMMs:
+
+        inv([[A, 0], [B, C]]) = [[inv(A), 0], [-inv(C) B inv(A), inv(C)]]
+
+    The <= ``base``-sized leaves use the scalar triangular solve.  This is
+    how the reference's big cublasDtrsm (`MPF.cu:215-225`) becomes
+    MXU-friendly for wide blocks on TPU."""
+    n = l11.shape[0]
+    if n <= base:
+        return unit_lower_inv(l11)
+    h = (n // 2 + base - 1) // base * base  # split at a multiple of base
+    if h >= n:
+        return unit_lower_inv(l11)
+    a = l11[:h, :h]
+    bmat = l11[h:, :h]
+    c = l11[h:, h:]
+    ai = unit_lower_inv_blocked(a, base)
+    ci = unit_lower_inv_blocked(c, base)
+    prec = _mm_precision(l11)
+    x = -jnp.dot(
+        ci,
+        jnp.dot(bmat, ai, preferred_element_type=jnp.float32, precision=prec),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    ).astype(l11.dtype)
+    top = jnp.concatenate([ai, jnp.zeros((h, n - h), dtype=l11.dtype)], axis=1)
+    bot = jnp.concatenate([x, ci], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
 def upper_inv(u11: jnp.ndarray) -> jnp.ndarray:
     """Inverse of the upper-triangular r x r block."""
     r = u11.shape[0]

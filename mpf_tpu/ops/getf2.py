@@ -65,17 +65,68 @@ def panel_pivots(
         row_d = p[d, :]
         row_p = p[pj, :]
         p = p.at[d, :].set(row_p).at[pj, :].set(row_d)
-        # (d): rank-1 elimination, multipliers stored in place
-        pivval = p[d, j]
-        mult = jnp.where(rows > d, p[:, j] / pivval, jnp.zeros_like(p[:, j]))
+        # (d): rank-1 elimination, multipliers stored in place (multipliers
+        # are computed in fp32 and rounded to the panel dtype, matching the
+        # Pallas kernel bit-for-bit)
+        pivval = p[d, j].astype(jnp.float32)
+        safe = jnp.where(pivval == 0, jnp.float32(1), pivval)
+        mult = jnp.where(
+            rows > d, p[:, j].astype(jnp.float32) / safe, 0.0
+        ).astype(p.dtype)
         urow = jnp.where(cols > j, p[d, :], jnp.zeros_like(p[d, :]))
-        p = p - jnp.outer(mult, urow).astype(p.dtype)
+        p = p - mult[:, None] * urow[None, :]
         p = p.at[:, j].set(jnp.where(rows > d, mult, p[:, j]))
         return p, piv
 
     piv0 = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)[:, 0] + off
     _, piv = jax.lax.fori_loop(0, ncols, body, (panel, piv0))
     return piv
+
+
+def panel_pivots_perm(
+    panel: jnp.ndarray, row_offset=0, ncols: int | None = None
+):
+    """Like :func:`panel_pivots` but additionally carries the row
+    permutation through the same elimination loop: returns ``(piv, perm)``
+    with ``perm`` (m,) int32 such that applying the panel's sequential swaps
+    to any array ``X`` equals ``X_new[i] = X_old[perm[i]]`` — the blocked
+    driver uses it to apply each panel's swaps with ONE bounded gather
+    instead of r sequential exchanges (the LASWP semantics of `MPF.cu:47-57`
+    compose exactly into this row map)."""
+    m, r = panel.shape
+    ncols = r if ncols is None else ncols
+    off = jnp.asarray(row_offset, dtype=jnp.int32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)[0, :]
+
+    def body(j, carry):
+        p, piv, perm = carry
+        d = off + j
+        colv = jnp.abs(p[:, j].astype(jnp.float32))
+        colv = jnp.where(rows >= d, colv, jnp.float32(-1.0))
+        pj = jnp.argmax(colv).astype(jnp.int32)
+        piv = piv.at[j].set(pj)
+        row_d = p[d, :]
+        row_p = p[pj, :]
+        p = p.at[d, :].set(row_p).at[pj, :].set(row_d)
+        sa = perm[d]
+        sb = perm[pj]
+        perm = perm.at[d].set(sb).at[pj].set(sa)
+        # fp32 multipliers rounded to panel dtype — bit-identical to the
+        # Pallas kernel (mpf_tpu/ops/panel_pallas.py)
+        pivval = p[d, j].astype(jnp.float32)
+        safe = jnp.where(pivval == 0, jnp.float32(1), pivval)
+        mult = jnp.where(
+            rows > d, p[:, j].astype(jnp.float32) / safe, 0.0
+        ).astype(p.dtype)
+        urow = jnp.where(cols > j, p[d, :], jnp.zeros_like(p[d, :]))
+        p = p - mult[:, None] * urow[None, :]
+        p = p.at[:, j].set(jnp.where(rows > d, mult, p[:, j]))
+        return p, piv, perm
+
+    piv0 = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)[:, 0] + off
+    _, piv, perm = jax.lax.fori_loop(0, ncols, body, (panel, piv0, rows))
+    return piv, perm
 
 
 def getf2_npv(block: jnp.ndarray, ncols: int | None = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
