@@ -55,9 +55,9 @@ from mpf_tpu.ops.blas3 import (
 
 def _auto_panel_kernel(m: int, rp: int):
     """Pick the pre-pivoting panel implementation: the fused Pallas TPU
-    kernel when shapes meet its tiling constraints (16-row slab alignment),
-    else the jnp reference kernel."""
-    if config.use_pallas() and m % 16 == 0 and rp % 8 == 0:
+    kernel when shapes meet its tiling constraints (lane-major transposed
+    panel), else the jnp reference kernel."""
+    if config.use_pallas() and m % 128 == 0 and rp % 8 == 0:
         from mpf_tpu.ops.panel_pallas import hgetf2_panel
 
         return hgetf2_panel
@@ -92,59 +92,64 @@ def _iota(n):
     return jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
 
 
-def _inner_panel_step(w, perm, piv_all, info, j0, rp, policy, pivot, panel_kernel):
+def _inner_panel_step(slab, perm, piv_all, info, kk, jj0, rp, policy, pivot, panel_kernel):
     """One r-wide panel step inside a block column.
 
-    ``w``: (m, bc) block-column workspace; ``j0``: traced column/diagonal
-    offset; ``rp``: static panel width.  Fixed shapes, masked updates.
+    ``slab``: (n, bc) full-height block-column slab (columns kk..kk+bc of the
+    matrix); ``jj0``: traced slab-local column offset (global diagonal sits
+    at row/column kk + jj0); ``rp``: static panel width.  Fixed shapes,
+    masked updates.  Panels are always full height so ONE Pallas kernel
+    instance serves every panel of the factorization (instances are
+    shape-keyed; per-instance first-run compilation is expensive).
     """
-    m, bc = w.shape
-    rows = _iota(m)
+    n, bc = slab.shape
+    rows = _iota(n)
     cols = _iota(bc)
-    fprec = _mm_precision(w)
+    fprec = _mm_precision(slab)
+    j0 = kk + jj0  # global diagonal offset (traced)
 
-    panel = jax.lax.dynamic_slice(w, (0, j0), (m, rp))
+    panel = jax.lax.dynamic_slice(slab, (0, jj0), (n, rp))
     if pivot:
-        kern = panel_kernel if panel_kernel is not None else _auto_panel_kernel(m, rp)
+        kern = panel_kernel if panel_kernel is not None else _auto_panel_kernel(n, rp)
         piv, pperm = kern(cast_to_panel(panel, policy), row_offset=j0)
     else:
         piv = j0 + _iota(rp)
         pperm = rows
 
-    # LASWP over the block column: one bounded gather/scatter over the <=2r
-    # positions that can move (sequential-swap semantics preserved by the
-    # composed row map from the panel kernel)
+    # LASWP over the slab: one bounded gather/scatter over the <=2r global
+    # row positions that can move (sequential-swap semantics preserved by
+    # the composed row map from the panel kernel)
     cand = jnp.concatenate([j0 + _iota(rp), piv])
     src = jnp.take(pperm, cand)
-    moved_rows = jnp.take(w, src, axis=0)
-    w = w.at[cand, :].set(moved_rows)
+    moved_rows = jnp.take(slab, src, axis=0)
+    slab = slab.at[cand, :].set(moved_rows)
     perm = jnp.take(perm, pperm)
-    piv_all = jax.lax.dynamic_update_slice(piv_all, piv, (j0,))
+    piv_all = jax.lax.dynamic_update_slice(piv_all, piv, (jj0,))
 
     # working-precision no-pivot re-factorization of the rp x rp diag block
-    diag = jax.lax.dynamic_slice(w, (j0, j0), (rp, rp))
+    diag = jax.lax.dynamic_slice(slab, (j0, jj0), (rp, rp))
     diag_lu, info_k = _auto_npv_kernel(rp)(diag)
     info = jnp.where((info == 0) & (info_k > 0), info_k + j0, info)
-    w = jax.lax.dynamic_update_slice(w, diag_lu, (j0, j0))
+    slab = jax.lax.dynamic_update_slice(slab, diag_lu, (j0, jj0))
 
     # L21 = A21 U11^{-1} (full-height masked GEMM)
-    colp = jax.lax.dynamic_slice(w, (0, j0), (m, rp))
+    colp = jax.lax.dynamic_slice(slab, (0, jj0), (n, rp))
     l21 = jnp.dot(
         colp, upper_inv(diag_lu), preferred_element_type=policy.accum, precision=fprec
-    ).astype(w.dtype)
+    ).astype(slab.dtype)
     below = rows >= j0 + rp
     l21 = jnp.where(below[:, None], l21, colp)
-    w = jax.lax.dynamic_update_slice(w, l21, (0, j0))
+    slab = jax.lax.dynamic_update_slice(slab, l21, (0, jj0))
 
     # U12 within the block column (full-width masked)
-    rowp = jax.lax.dynamic_slice(w, (j0, 0), (rp, bc))
+    rowp = jax.lax.dynamic_slice(slab, (j0, 0), (rp, bc))
     u12 = jnp.dot(
         unit_lower_inv(diag_lu), rowp, preferred_element_type=policy.accum,
         precision=fprec,
-    ).astype(w.dtype)
-    right = cols >= j0 + rp
+    ).astype(slab.dtype)
+    right = cols >= jj0 + rp
     u12 = jnp.where(right[None, :], u12, rowp)
-    w = jax.lax.dynamic_update_slice(w, u12, (j0, 0))
+    slab = jax.lax.dynamic_update_slice(slab, u12, (j0, 0))
 
     # trailing update within the block column (masked rank-rp MXU GEMM)
     lm = jnp.where(below[:, None], l21, 0).astype(policy.gemm_in)
@@ -152,43 +157,44 @@ def _inner_panel_step(w, perm, piv_all, info, j0, rp, policy, pivot, panel_kerne
     upd = jnp.dot(
         lm, um, preferred_element_type=policy.accum, precision=_mm_precision(lm)
     )
-    w = (w.astype(policy.accum) - upd).astype(w.dtype)
-    return w, perm, piv_all, info
+    slab = (slab.astype(policy.accum) - upd).astype(slab.dtype)
+    return slab, perm, piv_all, info
 
 
-def _factor_block_column(w, r, policy, pivot, panel_kernel):
-    """Partial-pivoted factorization of an (m, bc) block column.
+def _factor_block_column(slab, kk, r, policy, pivot, panel_kernel):
+    """Partial-pivoted factorization of the (n, bc) block-column slab whose
+    diagonal starts at global offset ``kk`` (static).
 
-    Returns (factored w, composed row map perm (m,), window-local 0-based
-    pivots (bc,), window-local info)."""
-    m, bc = w.shape
-    perm0 = _iota(m)
-    piv0 = _iota(bc)
+    Returns (factored slab, composed global row map perm (n,), global
+    0-based pivot rows (bc,), global info)."""
+    n, bc = slab.shape
+    perm0 = _iota(n)
+    piv0 = kk + _iota(bc)
     nfull, tail = divmod(bc, r)
 
     def body(t, carry):
-        w, perm, piv_all, info = carry
+        slab, perm, piv_all, info = carry
         return _inner_panel_step(
-            w, perm, piv_all, info, t * r, r, policy, pivot, panel_kernel
+            slab, perm, piv_all, info, kk, t * r, r, policy, pivot, panel_kernel
         )
 
-    carry = (w, perm0, piv0, jnp.int32(0))
+    carry = (slab, perm0, piv0, jnp.int32(0))
     if nfull == 1:
         carry = body(0, carry)  # avoid loop machinery for a single panel
     elif nfull > 1:
         carry = jax.lax.fori_loop(0, nfull, body, carry)
-    w, perm, piv_all, info = carry
+    slab, perm, piv_all, info = carry
     if tail:
-        j0 = nfull * r
-        if m - j0 == 1:
+        jj0 = nfull * r
+        if n - (kk + jj0) == 1:
             # `panel_rows > 1` guard (`MPF.cu:104`): 1x1 tail needs no work;
             # its pivot entry stays identity.
             pass
         else:
-            w, perm, piv_all, info = _inner_panel_step(
-                w, perm, piv_all, info, j0, tail, policy, pivot, panel_kernel
+            slab, perm, piv_all, info = _inner_panel_step(
+                slab, perm, piv_all, info, kk, jj0, tail, policy, pivot, panel_kernel
             )
-    return w, perm, piv_all, info
+    return slab, perm, piv_all, info
 
 
 def mpf_factorize_traced(
@@ -222,35 +228,37 @@ def mpf_factorize_traced(
         bc = min(block, n - k)
         if n - k <= 1:
             break
-        w = a[k:, k : k + bc]
-        w, perm, piv_b, info_b = _factor_block_column(w, r, policy, pivot, panel_kernel)
-        a = a.at[k:, k : k + bc].set(w)
-        ipiv = ipiv.at[k : k + bc].set(piv_b + (k + 1))
-        info = jnp.where((info == 0) & (info_b > 0), info_b + k, info)
+        slab = a[:, k : k + bc]
+        slab, perm, piv_b, info_b = _factor_block_column(
+            slab, k, r, policy, pivot, panel_kernel
+        )
+        a = a.at[:, k : k + bc].set(slab)
+        ipiv = ipiv.at[k : k + bc].set(piv_b + 1)  # piv_b is global 0-based
+        info = jnp.where((info == 0) & (info_b > 0), info_b, info)
 
         # LASWP on the rest of the matrix: one bounded gather over the <=2bc
-        # window positions that can have moved (full LAPACK row-swap
+        # global row positions that can have moved (full LAPACK row-swap
         # semantics, `MPF.cu:42-59`, including already-factored L columns)
         if pivot and (k > 0 or k + bc < n):
-            cand = jnp.concatenate([_iota(bc), piv_b])  # window-local positions
+            cand = jnp.concatenate([k + _iota(bc), piv_b])  # global positions
             src = jnp.take(perm, cand)
             if k > 0:
-                left = a[k:, :k]
-                a = a.at[cand + k, :k].set(jnp.take(left, src, axis=0))
+                left = a[:, :k]
+                a = a.at[cand, :k].set(jnp.take(left, src, axis=0))
             if k + bc < n:
-                right = a[k:, k + bc :]
-                a = a.at[cand + k, k + bc :].set(jnp.take(right, src, axis=0))
+                right = a[:, k + bc :]
+                a = a.at[cand, k + bc :].set(jnp.take(right, src, axis=0))
 
         if k + bc < n:
             # U12 block: L11^{-1} A12 via log-depth blocked triangular inverse
-            linv = unit_lower_inv_blocked(w[:bc, :bc], base=min(r, 128))
+            linv = unit_lower_inv_blocked(slab[k : k + bc, :], base=min(r, 128))
             a12 = a[k : k + bc, k + bc :]
             u12 = jnp.dot(
                 linv, a12, preferred_element_type=policy.accum, precision=fprec
             ).astype(a.dtype)
             a = a.at[k : k + bc, k + bc :].set(u12)
             # trailing update at true (static) sizes — the O(n^3) hot GEMM
-            l21 = w[bc:, :].astype(policy.gemm_in)
+            l21 = slab[k + bc :, :].astype(policy.gemm_in)
             u12c = u12.astype(policy.gemm_in)
             upd = jnp.dot(
                 l21, u12c, preferred_element_type=policy.accum,

@@ -39,8 +39,8 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from mpf_tpu.precision import PrecisionPolicy, MPF_BF16, cast_to_panel
-from mpf_tpu.models.mpf import MPFResult
-from mpf_tpu.ops.getf2 import panel_pivots, getf2_npv
+from mpf_tpu.models.mpf import MPFResult, _auto_panel_kernel, _auto_npv_kernel
+from mpf_tpu.ops.getf2 import panel_pivots_perm, getf2_npv
 from mpf_tpu.ops.blas3 import unit_lower_inv, upper_inv, _mm_precision
 from mpf_tpu.parallel.mesh import ROW_AXIS, COL_AXIS
 from mpf_tpu.parallel.block_cyclic import (
@@ -84,20 +84,16 @@ def _dist_lu_local(tile, *, n, b, gp, gq, nb, policy, pivot):
 
         # -- 2. replicated panel factorization -----------------------------
         if pivot:
-            piv = panel_pivots(cast_to_panel(panel, policy), row_offset=off)
+            kern = _auto_panel_kernel(n, b)
+            piv, pperm = kern(cast_to_panel(panel, policy), row_offset=off)
         else:
             piv = off + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
+            pperm = rows_g
 
-        def swap_body(j, pnl):
-            d = off + j
-            s = piv[j]
-            rd = pnl[d, :]
-            rs = pnl[s, :]
-            return pnl.at[d, :].set(rs).at[s, :].set(rd)
-
-        panel = jax.lax.fori_loop(0, b, swap_body, panel)
+        # apply the composed swap row-map to the replicated panel
+        panel = jnp.take(panel, pperm, axis=0)
         diag = jax.lax.dynamic_slice(panel, (off, 0), (b, b))
-        diag_lu, info_k = getf2_npv(diag)
+        diag_lu, info_k = _auto_npv_kernel(b)(diag)
         info = jnp.where((info == 0) & (info_k > 0), info_k + off, info)
         l21 = jnp.dot(
             panel, upper_inv(diag_lu), preferred_element_type=policy.accum,
@@ -108,17 +104,9 @@ def _dist_lu_local(tile, *, n, b, gp, gq, nb, policy, pivot):
         ipiv = jax.lax.dynamic_update_slice(ipiv, piv + 1, (off,))
 
         # -- 3. cross-chip row swaps (LASWP) -------------------------------
-        def rm_body(j, rm):
-            d = off + j
-            s = piv[j]
-            x = rm[d]
-            y = rm[s]
-            return rm.at[d].set(y).at[s].set(x)
-
-        rowmap = jax.lax.fori_loop(0, b, rm_body, rows_g)
         dests = off + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
         cand = jnp.concatenate([dests, piv])                 # (2b,) global rows
-        src_g = jnp.take(rowmap, cand)
+        src_g = jnp.take(pperm, cand)
         owner_s, lrow_s = owner_local_row(src_g, b, gp)
         mine_s = owner_s == pp
         srows = jnp.take(aloc, jnp.where(mine_s, lrow_s, 0), axis=0)
