@@ -58,6 +58,19 @@ def main():
     except Exception:
         base, vs = None, None
 
+    # IR gate (BASELINE.json config 3): solution backward error after <=3
+    # Richardson sweeps on the bf16-GEMM factors must reach O(eps_fp32)
+    ir_be = None
+    try:
+        from mpf_tpu.models.refine import ir_solve
+        from mpf_tpu.utils.oracle import solve_residual
+
+        b = np.ones(n_chk, np.float32)
+        ir = ir_solve(jnp.asarray(a_chk), res_chk.lu, res_chk.ipiv, jnp.asarray(b), sweeps=3)
+        ir_be = solve_residual(a_chk, np.asarray(ir.x), b)
+    except Exception:
+        pass
+
     out = {
         "metric": f"LU TFLOP/s/chip (2n^3/3), n={n}, r={r}, policy={policy.name}",
         "value": round(ours, 3),
@@ -67,6 +80,7 @@ def main():
         "seconds": round(secs, 4),
         "oracle_nbe_n2048": rep.normwise_backward_err,
         "oracle_ok": rep.ok,
+        "ir_backward_error_3sweeps": ir_be,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }

@@ -25,7 +25,7 @@ from mpf_tpu.precision import (
 )
 from mpf_tpu.models.mpf import MPFResult, mpf_factorize, make_mpf
 from mpf_tpu.models.solve import getrs, lu_solve
-from mpf_tpu.models.refine import ir_solve, mpf_solve
+from mpf_tpu.models.refine import ir_solve, gmres_ir_solve, mpf_solve, solve
 from mpf_tpu.models.batched import batched_factorize
 
 __version__ = "0.1.0"
@@ -44,6 +44,8 @@ __all__ = [
     "getrs",
     "lu_solve",
     "ir_solve",
+    "gmres_ir_solve",
     "mpf_solve",
+    "solve",
     "batched_factorize",
 ]

@@ -72,6 +72,22 @@ def _auto_npv_kernel(rp: int):
     return getf2_npv
 
 
+def _auto_npv_inv_kernel(rp: int):
+    """No-pivot diag factorization WITH fused triangular inverses:
+    (diag) -> (lu, linv, uinv, info).  Pallas on TPU (one kernel, no XLA
+    triangular_solve in the panel loop); jnp + triangular solves elsewhere."""
+    if config.use_pallas() and rp % 8 == 0:
+        from mpf_tpu.ops.panel_pallas import getf2_npv_inv_block
+
+        return getf2_npv_inv_block
+
+    def jnp_version(diag):
+        lu, info = getf2_npv(diag)
+        return lu, unit_lower_inv(lu), upper_inv(lu), info
+
+    return jnp_version
+
+
 class MPFResult(NamedTuple):
     """Factorization result (LAPACK getrf conventions).
 
@@ -111,31 +127,39 @@ def _inner_panel_step(slab, perm, piv_all, info, kk, jj0, rp, policy, pivot, pan
     panel = jax.lax.dynamic_slice(slab, (0, jj0), (n, rp))
     if pivot:
         kern = panel_kernel if panel_kernel is not None else _auto_panel_kernel(n, rp)
-        piv, pperm = kern(cast_to_panel(panel, policy), row_offset=j0)
+        piv, pperm, perm = kern(
+            cast_to_panel(panel, policy), row_offset=j0, prev_perm=perm
+        )
     else:
         piv = j0 + _iota(rp)
         pperm = rows
 
-    # LASWP over the slab: one bounded gather/scatter over the <=2r global
+    # LASWP over the slab: one bounded row exchange over the <=2r global
     # row positions that can move (sequential-swap semantics preserved by
-    # the composed row map from the panel kernel)
+    # the composed row map from the panel kernel; cross-panel composition
+    # happens inside the kernel)
     cand = jnp.concatenate([j0 + _iota(rp), piv])
     src = jnp.take(pperm, cand)
-    moved_rows = jnp.take(slab, src, axis=0)
-    slab = slab.at[cand, :].set(moved_rows)
-    perm = jnp.take(perm, pperm)
+    if config.use_pallas():
+        from mpf_tpu.ops.panel_pallas import laswp_apply
+
+        slab = laswp_apply(slab, cand, src)
+    else:
+        moved_rows = jnp.take(slab, src, axis=0)
+        slab = slab.at[cand, :].set(moved_rows)
     piv_all = jax.lax.dynamic_update_slice(piv_all, piv, (jj0,))
 
-    # working-precision no-pivot re-factorization of the rp x rp diag block
+    # working-precision no-pivot re-factorization of the rp x rp diag block,
+    # with triangular inverses fused into the same kernel
     diag = jax.lax.dynamic_slice(slab, (j0, jj0), (rp, rp))
-    diag_lu, info_k = _auto_npv_kernel(rp)(diag)
+    diag_lu, linv, uinv, info_k = _auto_npv_inv_kernel(rp)(diag)
     info = jnp.where((info == 0) & (info_k > 0), info_k + j0, info)
     slab = jax.lax.dynamic_update_slice(slab, diag_lu, (j0, jj0))
 
     # L21 = A21 U11^{-1} (full-height masked GEMM)
     colp = jax.lax.dynamic_slice(slab, (0, jj0), (n, rp))
     l21 = jnp.dot(
-        colp, upper_inv(diag_lu), preferred_element_type=policy.accum, precision=fprec
+        colp, uinv, preferred_element_type=policy.accum, precision=fprec
     ).astype(slab.dtype)
     below = rows >= j0 + rp
     l21 = jnp.where(below[:, None], l21, colp)
@@ -144,7 +168,7 @@ def _inner_panel_step(slab, perm, piv_all, info, kk, jj0, rp, policy, pivot, pan
     # U12 within the block column (full-width masked)
     rowp = jax.lax.dynamic_slice(slab, (j0, 0), (rp, bc))
     u12 = jnp.dot(
-        unit_lower_inv(diag_lu), rowp, preferred_element_type=policy.accum,
+        linv, rowp, preferred_element_type=policy.accum,
         precision=fprec,
     ).astype(slab.dtype)
     right = cols >= jj0 + rp

@@ -107,6 +107,42 @@ class SolveResult(NamedTuple):
     residual_norms: jax.Array
 
 
+def solve(
+    a,
+    b,
+    r: int = 128,
+    policy: PrecisionPolicy = MPF_BF16,
+    sweeps: int = 3,
+    auto_escalate: bool = True,
+):
+    """Convenience driver with automatic precision escalation (host-side
+    control): factor under ``policy`` + Richardson IR; if IR divergence is
+    detected (kappa * eps_factors too large — the north-star failure signal),
+    retry with GMRES-IR on the same factors, and if that still stalls,
+    refactor under the reference-faithful MPF_REF policy (mixed precision
+    only in pivot selection) and GMRES-IR again.  Returns (x, info_dict)."""
+    import numpy as np
+    from mpf_tpu.precision import MPF_REF
+
+    res = mpf_factorize_traced(a, r=r, policy=policy, pivot=True)
+    ir = ir_solve(a.astype(policy.working), res.lu, res.ipiv, b, sweeps=sweeps)
+    path = "richardson"
+    x = ir.x
+    if auto_escalate and bool(ir.diverged):
+        x = gmres_ir_solve(a, res.lu, res.ipiv, b, restart=20, maxiter=5)
+        path = "gmres_ir"
+        a32 = np.asarray(a, dtype=np.float64)
+        resid = np.linalg.norm(a32 @ np.asarray(x, dtype=np.float64) - np.asarray(b))
+        scale = np.linalg.norm(a32) * np.linalg.norm(np.asarray(x)) + np.linalg.norm(
+            np.asarray(b)
+        )
+        if scale > 0 and resid / scale > 1e-6 and policy.name != MPF_REF.name:
+            res = mpf_factorize_traced(a, r=r, policy=MPF_REF, pivot=True)
+            x = gmres_ir_solve(a, res.lu, res.ipiv, b, restart=20, maxiter=5)
+            path = "gmres_ir+mpf_ref_refactor"
+    return x, {"path": path, "diverged": bool(ir.diverged), "info": int(res.info)}
+
+
 @functools.partial(jax.jit, static_argnames=("r", "policy", "sweeps"))
 def mpf_solve(
     a: jax.Array,

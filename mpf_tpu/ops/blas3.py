@@ -56,12 +56,21 @@ def unit_lower_inv_blocked(l11: jnp.ndarray, base: int = 128) -> jnp.ndarray:
     The <= ``base``-sized leaves use the scalar triangular solve.  This is
     how the reference's big cublasDtrsm (`MPF.cu:215-225`) becomes
     MXU-friendly for wide blocks on TPU."""
+    from mpf_tpu import config
+
+    def leaf(x):
+        if config.use_pallas() and x.shape[0] % 8 == 0:
+            from mpf_tpu.ops.panel_pallas import unit_lower_inv_pallas
+
+            return unit_lower_inv_pallas(x)
+        return unit_lower_inv(x)
+
     n = l11.shape[0]
     if n <= base:
-        return unit_lower_inv(l11)
+        return leaf(l11)
     h = (n // 2 + base - 1) // base * base  # split at a multiple of base
     if h >= n:
-        return unit_lower_inv(l11)
+        return leaf(l11)
     a = l11[:h, :h]
     bmat = l11[h:, :h]
     c = l11[h:, h:]

@@ -84,7 +84,7 @@ def panel_pivots(
 
 
 def panel_pivots_perm(
-    panel: jnp.ndarray, row_offset=0, ncols: int | None = None
+    panel: jnp.ndarray, row_offset=0, ncols: int | None = None, prev_perm=None
 ):
     """Like :func:`panel_pivots` but additionally carries the row
     permutation through the same elimination loop: returns ``(piv, perm)``
@@ -126,6 +126,8 @@ def panel_pivots_perm(
 
     piv0 = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)[:, 0] + off
     _, piv, perm = jax.lax.fori_loop(0, ncols, body, (panel, piv0, rows))
+    if prev_perm is not None:
+        return piv, perm, jnp.take(prev_perm, perm)
     return piv, perm
 
 

@@ -48,17 +48,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _hgetf2t_kernel(off_ref, pt_in_ref, pt_ref, piv_ref, perm_ref, *, r: int):
-    """Pre-pivoting panel LU on the transposed (r, m) panel."""
+def _hgetf2t_kernel(
+    off_ref, pt_in_ref, prev_perm_ref, pt_ref, piv_ref, perm_ref, cperm_ref, *, r: int
+):
+    """Pre-pivoting panel LU on the transposed (r, m) panel.
+
+    ``prev_perm_ref`` (1, m) is the row map composed by earlier panels; this
+    kernel applies its own swaps to it scalar-by-scalar and emits the fully
+    composed map — the driver never performs an XLA gather to compose
+    permutations (XLA 1D gathers cost ~0.7 ms per panel on this TPU)."""
     m = pt_ref.shape[1]
     pt_ref[:] = pt_in_ref[:]  # no-op self-copy under aliasing; initializes
     off = off_ref[0]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)   # global row ids
     rcols = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)   # panel col ids
     pivlanes = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
+    gperm0 = prev_perm_ref[:]
 
     def body(j, carry):
-        perm, pos, piv = carry  # (1, m), (1, m), (1, r) int32
+        perm, pos, piv, gperm = carry  # (1, m) x2, (1, r), (1, m) int32
         d = off + j
         # panel column j == row j of the transposed panel: aligned 8-row
         # slab read + masked select (one (8, m) pass)
@@ -79,6 +87,10 @@ def _hgetf2t_kernel(off_ref, pt_in_ref, pt_ref, piv_ref, perm_ref, *, r: int):
         pos = jnp.where(lanes == o, d, jnp.where(lanes == o2, cp, pos))
         perm = jnp.where(lanes == d, o, jnp.where(lanes == cp, o2, perm))
         piv = jnp.where(pivlanes == j, cp, piv)
+        # compose the same swap into the carried global row map
+        g_d = jnp.sum(jnp.where(lanes == d, gperm, 0))
+        g_cp = jnp.sum(jnp.where(lanes == cp, gperm, 0))
+        gperm = jnp.where(lanes == d, g_cp, jnp.where(lanes == cp, g_d, gperm))
         # multipliers (fp32 compute, panel-dtype storage-free rank-1)
         pivval = jnp.sum(jnp.where(lanes == o, colv, 0.0))
         safe = jnp.where(pivval == 0, jnp.float32(1), pivval)
@@ -91,13 +103,14 @@ def _hgetf2t_kernel(off_ref, pt_in_ref, pt_ref, piv_ref, perm_ref, *, r: int):
         )  # (r, 1)
         ucol = jnp.where(rcols > j, ucol, 0.0).astype(pt_ref.dtype)
         pt_ref[:] = p - ucol * mult
-        return perm, pos, piv
+        return perm, pos, piv, gperm
 
-    perm, _, piv = jax.lax.fori_loop(
-        0, r, body, (lanes, lanes, pivlanes + off)
+    perm, _, piv, gperm = jax.lax.fori_loop(
+        0, r, body, (lanes, lanes, pivlanes + off, gperm0)
     )
     perm_ref[:] = perm
     piv_ref[:] = piv
+    cperm_ref[:] = gperm
 
 
 @functools.lru_cache(maxsize=64)
@@ -109,16 +122,21 @@ def _build_hgetf2t(m: int, r: int, dtype_name: str):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # transposed panel
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # prev composed perm
+            ],
             out_specs=(
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # trashed panel (aliased)
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # piv (1, r)
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # perm (1, m)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # panel-local perm (1, m)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # composed perm (1, m)
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((r, m), dtype),
             jax.ShapeDtypeStruct((1, r), jnp.int32),
+            jax.ShapeDtypeStruct((1, m), jnp.int32),
             jax.ShapeDtypeStruct((1, m), jnp.int32),
         ),
         input_output_aliases={1: 0},  # panel input -> trashed panel output
@@ -129,17 +147,183 @@ def _build_hgetf2t(m: int, r: int, dtype_name: str):
     )
 
 
-def hgetf2_panel(panel: jax.Array, row_offset=0):
+def hgetf2_panel(panel: jax.Array, row_offset=0, prev_perm=None):
     """Pallas pre-pivoting panel LU.  ``panel`` is (m, r) in the panel
-    dtype; returns (piv, perm): ``piv`` (r,) 0-based pivot positions
-    (panel-array rows), ``perm`` (m,) the composed row map
-    (A_new[i] = A_old[perm[i]]).  The low-precision numeric factors are
-    discarded (reference semantics, SURVEY.md section 0)."""
+    dtype; returns (piv, perm[, composed]):
+
+    * ``piv`` (r,): 0-based pivot positions (panel-array rows)
+    * ``perm`` (m,): THIS panel's row map (A_new[i] = A_old[perm[i]])
+    * when ``prev_perm`` (m,) is given, additionally returns the fully
+      composed map prev âˆ˜ this (swap composition runs inside the kernel —
+      XLA 1D gathers are ~0.7 ms/panel on TPU, in-kernel composition is
+      ~free).
+
+    The low-precision numeric factors are discarded (reference semantics,
+    SURVEY.md section 0)."""
     m, r = panel.shape
     off = jnp.asarray(row_offset, jnp.int32).reshape(1)
     pt = jnp.swapaxes(panel, 0, 1)  # (r, m): lane-major columns
-    _, piv, perm = _build_hgetf2t(m, r, panel.dtype.name)(off, pt)
+    gave_prev = prev_perm is not None
+    if prev_perm is None:
+        prev_perm = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    else:
+        prev_perm = prev_perm.reshape(1, m)
+    _, piv, perm, cperm = _build_hgetf2t(m, r, panel.dtype.name)(off, pt, prev_perm)
+    if gave_prev:
+        return piv[0, :], perm[0, :], cperm[0, :]
     return piv[0, :], perm[0, :]
+
+
+def _npv_inv_kernel(block_ref, out_ref, linv_ref, uinv_ref, info_ref, *, r: int):
+    """No-pivot LU of the (r, r) block with FUSED triangular inverses.
+
+    * L^{-1} accumulates Gauss-Jordan style during the elimination:
+      L = E_0 E_1 ... with E_j = I + m_j e_j^T, so
+      L^{-1} = prod_j (I - m_j e_j^T) applied left-to-right — one extra
+      row-extract + rank-1 FMA per column, sharing the main loop.
+    * U^{-1} by backward substitution in a second r-step loop.
+
+    Replaces two XLA `triangular_solve` calls per panel (each a sequential
+    128-step while-loop at full dispatch cost) with ~4 extra VPU passes over
+    an (r, r) block per column — the TRSMs in the driver become plain MXU
+    GEMMs against these inverses.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
+    eye = (rows == cols).astype(block_ref.dtype)
+    info_ref[0, 0] = jnp.int32(0)
+    out_ref[:] = block_ref[:]
+    linv_ref[:] = eye
+
+    def body(j, _):
+        b = out_ref[:]
+        colv = jnp.sum(jnp.where(cols == j, b, 0), axis=1, keepdims=True)
+        pivval = jnp.sum(jnp.where(rows == j, colv, 0.0))
+
+        @pl.when((pivval == 0) & (info_ref[0, 0] == 0))
+        def _():
+            info_ref[0, 0] = j + 1
+
+        safe = jnp.where(pivval == 0, jnp.ones_like(pivval), pivval)
+        mult = jnp.where(rows > j, colv / safe, 0.0)
+        urow = jnp.sum(jnp.where(rows == j, b, 0), axis=0, keepdims=True)
+        urow_m = jnp.where(cols > j, urow, jnp.zeros_like(urow))
+        upd = b - mult * urow_m
+        out_ref[:] = jnp.where((cols == j) & (rows > j), mult, upd)
+        # linv <- (I - m_j e_j^T) linv : subtract mult * row j of linv
+        li = linv_ref[:]
+        lrow = jnp.sum(jnp.where(rows == j, li, 0), axis=0, keepdims=True)
+        linv_ref[:] = li - mult * lrow
+        return 0
+
+    jax.lax.fori_loop(0, r, body, 0)
+
+    # backward substitution for U^{-1}: for i = r-1..0,
+    #   Y[i, :] = (e_i - sum_{k>i} U[i,k] Y[k, :]) / U[i,i]
+    uinv_ref[:] = jnp.zeros_like(uinv_ref)
+
+    def bback(t, _):
+        i = r - 1 - t
+        u = out_ref[:]
+        y = uinv_ref[:]
+        urow = jnp.sum(jnp.where(rows == i, u, 0), axis=0, keepdims=True)  # (1, r)
+        uii = jnp.sum(jnp.where(cols == i, urow, 0.0))
+        safe = jnp.where(uii == 0, jnp.ones_like(uii), uii)
+        urow_m = jnp.where(cols > i, urow, jnp.zeros_like(urow))
+        # acc[0, c] = sum_{k>i} U[i, k] * Y[k, c]  — one (1,r)x(r,r) matvec
+        acc = jnp.dot(urow_m, y, preferred_element_type=jnp.float32)
+        ei = (cols == i).astype(jnp.float32)
+        yrow = ((ei - acc) / safe).astype(y.dtype)
+        uinv_ref[:] = jnp.where(rows == i, yrow, y)
+        return 0
+
+    jax.lax.fori_loop(0, r, bback, 0)
+
+
+def _laswp_kernel(cand_ref, src_ref, slab_in_ref, slab_ref, scratch, sems, *, nswap: int):
+    """Row exchange via overlapped per-row DMAs (the reference's
+    `LASWP_kernel`, `MPF.cu:42-59`, as a TPU DMA kernel).
+
+    ``slab_ref`` (aliased to the input) stays in HBM/ANY; ``nswap`` rows are
+    gathered into VMEM scratch (all DMAs in flight together), then scattered
+    back to their destinations.  Gather completes fully before any scatter,
+    so colliding sequential swaps read pre-swap data exactly like one
+    composed row map.
+    """
+    del slab_in_ref  # same memory as slab_ref via input_output_aliases
+
+    def start_gather(i, _):
+        pltpu.make_async_copy(
+            slab_ref.at[pl.ds(src_ref[i], 1), :],
+            scratch.at[pl.ds(i, 1), :],
+            sems.at[i],
+        ).start()
+        return 0
+
+    jax.lax.fori_loop(0, nswap, start_gather, 0)
+
+    def wait_gather(i, _):
+        pltpu.make_async_copy(
+            slab_ref.at[pl.ds(src_ref[i], 1), :],
+            scratch.at[pl.ds(i, 1), :],
+            sems.at[i],
+        ).wait()
+        return 0
+
+    jax.lax.fori_loop(0, nswap, wait_gather, 0)
+
+    def start_scatter(i, _):
+        pltpu.make_async_copy(
+            scratch.at[pl.ds(i, 1), :],
+            slab_ref.at[pl.ds(cand_ref[i], 1), :],
+            sems.at[i],
+        ).start()
+        return 0
+
+    jax.lax.fori_loop(0, nswap, start_scatter, 0)
+
+    def wait_scatter(i, _):
+        pltpu.make_async_copy(
+            scratch.at[pl.ds(i, 1), :],
+            slab_ref.at[pl.ds(cand_ref[i], 1), :],
+            sems.at[i],
+        ).wait()
+        return 0
+
+    jax.lax.fori_loop(0, nswap, wait_scatter, 0)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_laswp(n: int, w: int, nswap: int, dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    kernel = functools.partial(_laswp_kernel, nswap=nswap)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # cand, src
+            grid=(),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
+            scratch_shapes=[
+                pltpu.VMEM((nswap, w), dtype),
+                pltpu.SemaphoreType.DMA((nswap,)),
+            ],
+        ),
+        out_shape=(jax.ShapeDtypeStruct((n, w), dtype),),
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+
+
+def laswp_apply(slab: jax.Array, cand: jax.Array, src: jax.Array):
+    """Apply a bounded row exchange to ``slab``: slab[cand[i], :] =
+    slab_old[src[i], :].  Duplicate cand entries must carry identical
+    sources (the composed-row-map construction guarantees this)."""
+    n, w = slab.shape
+    (out,) = _build_laswp(n, w, int(cand.shape[0]), slab.dtype.name)(
+        cand.astype(jnp.int32), src.astype(jnp.int32), slab
+    )
+    return out
 
 
 def _npv_kernel(block_ref, out_ref, info_ref, *, r: int):
@@ -192,3 +376,71 @@ def getf2_npv_block(block: jax.Array):
     r = block.shape[0]
     lu, info = _build_npv(r, block.dtype.name)(block)
     return lu, info[0, 0]
+
+
+@functools.lru_cache(maxsize=64)
+def _build_npv_inv(r: int, dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    kernel = functools.partial(_npv_inv_kernel, r=r)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, r), dtype),
+            jax.ShapeDtypeStruct((r, r), dtype),
+            jax.ShapeDtypeStruct((r, r), dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+    )
+
+
+def getf2_npv_inv_block(block: jax.Array):
+    """Pallas no-pivot LU of the (r, r) diagonal block with fused triangular
+    inverses; returns (lu, linv, uinv, info)."""
+    r = block.shape[0]
+    lu, linv, uinv, info = _build_npv_inv(r, block.dtype.name)(block)
+    return lu, linv, uinv, info[0, 0]
+
+
+def _tri_inv_kernel(l_in_ref, out_ref, *, r: int):
+    """Unit-lower-triangular inverse by Gauss-Jordan accumulation (the
+    multipliers of a unit-lower matrix ARE its subdiagonal columns)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
+    out_ref[:] = (rows == cols).astype(l_in_ref.dtype)
+
+    def body(j, _):
+        l = l_in_ref[:]
+        colv = jnp.sum(jnp.where(cols == j, l, 0), axis=1, keepdims=True)
+        mult = jnp.where(rows > j, colv, 0.0)
+        li = out_ref[:]
+        lrow = jnp.sum(jnp.where(rows == j, li, 0), axis=0, keepdims=True)
+        out_ref[:] = li - mult * lrow
+        return 0
+
+    jax.lax.fori_loop(0, r, body, 0)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_tri_inv(r: int, dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    kernel = functools.partial(_tri_inv_kernel, r=r)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, r), dtype),
+    )
+
+
+def unit_lower_inv_pallas(l11: jax.Array):
+    """Inverse of the unit-lower-triangular (r, r) block (strictly-lower
+    entries of ``l11`` are the multipliers; diagonal is implicit 1)."""
+    r = l11.shape[0]
+    return _build_tri_inv(r, l11.dtype.name)(l11)

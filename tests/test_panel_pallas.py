@@ -22,6 +22,21 @@ def test_hgetf2_matches_jnp(m, r, off, rng):
     np.testing.assert_array_equal(np.asarray(perm_p), np.asarray(perm_j))
 
 
+def test_hgetf2_prev_perm_composition(rng):
+    """In-kernel swap composition == XLA gather composition."""
+    m, r = 64, 8
+    pan = jnp.asarray(rng.random((m, r)) * 9.9, jnp.bfloat16)
+    prev = jnp.asarray(rng.permutation(m).astype(np.int32))
+    with pltpu.force_tpu_interpret_mode():
+        piv_p, perm_p, comp_p = hgetf2_panel(pan, 3, prev_perm=prev)
+    piv_j, perm_j, comp_j = panel_pivots_perm(pan, 3, prev_perm=prev)
+    np.testing.assert_array_equal(np.asarray(piv_p), np.asarray(piv_j))
+    np.testing.assert_array_equal(np.asarray(comp_p), np.asarray(comp_j))
+    np.testing.assert_array_equal(
+        np.asarray(comp_p), np.asarray(prev)[np.asarray(perm_p)]
+    )
+
+
 def test_hgetf2_colliding_values(rng):
     """Ties must resolve to the lowest current position (reference strict->
     scan, hgetf2_kernel.cu:68-82)."""
