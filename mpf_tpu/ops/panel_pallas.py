@@ -244,50 +244,52 @@ def _laswp_kernel(cand_ref, src_ref, slab_in_ref, slab_ref, scratch, sems, *, ns
     """Row exchange via overlapped per-row DMAs (the reference's
     `LASWP_kernel`, `MPF.cu:42-59`, as a TPU DMA kernel).
 
-    ``slab_ref`` (aliased to the input) stays in HBM/ANY; ``nswap`` rows are
+    ``slab_ref`` (aliased to the input) stays in HBM; ``nswap`` rows are
     gathered into VMEM scratch (all DMAs in flight together), then scattered
     back to their destinations.  Gather completes fully before any scatter,
     so colliding sequential swaps read pre-swap data exactly like one
     composed row map.
     """
-    del slab_in_ref  # same memory as slab_ref via input_output_aliases
+
+    def gather_dma(i):
+        # both buffers are (rows, 1, w): dynamic row indices land on the
+        # untiled leading dim (slices of the tiled trailing (row, lane) dims
+        # must be 8-row-aligned; leading-dim indexing is unconstrained).
+        # Reads go through the INPUT ref (same memory under aliasing;
+        # well-defined in interpret mode too).
+        return pltpu.make_async_copy(
+            slab_in_ref.at[src_ref[i]],
+            scratch.at[i],
+            sems.at[i],
+        )
+
+    def scatter_dma(i):
+        return pltpu.make_async_copy(
+            scratch.at[i],
+            slab_ref.at[cand_ref[i]],
+            sems.at[i],
+        )
 
     def start_gather(i, _):
-        pltpu.make_async_copy(
-            slab_ref.at[pl.ds(src_ref[i], 1), :],
-            scratch.at[pl.ds(i, 1), :],
-            sems.at[i],
-        ).start()
+        gather_dma(i).start()
         return 0
 
     jax.lax.fori_loop(0, nswap, start_gather, 0)
 
     def wait_gather(i, _):
-        pltpu.make_async_copy(
-            slab_ref.at[pl.ds(src_ref[i], 1), :],
-            scratch.at[pl.ds(i, 1), :],
-            sems.at[i],
-        ).wait()
+        gather_dma(i).wait()
         return 0
 
     jax.lax.fori_loop(0, nswap, wait_gather, 0)
 
     def start_scatter(i, _):
-        pltpu.make_async_copy(
-            scratch.at[pl.ds(i, 1), :],
-            slab_ref.at[pl.ds(cand_ref[i], 1), :],
-            sems.at[i],
-        ).start()
+        scatter_dma(i).start()
         return 0
 
     jax.lax.fori_loop(0, nswap, start_scatter, 0)
 
     def wait_scatter(i, _):
-        pltpu.make_async_copy(
-            scratch.at[pl.ds(i, 1), :],
-            slab_ref.at[pl.ds(cand_ref[i], 1), :],
-            sems.at[i],
-        ).wait()
+        scatter_dma(i).wait()
         return 0
 
     jax.lax.fori_loop(0, nswap, wait_scatter, 0)
@@ -302,14 +304,16 @@ def _build_laswp(n: int, w: int, nswap: int, dtype_name: str):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # cand, src
             grid=(),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
+            # the slab must stay in HBM: DMA row slices of VMEM-resident
+            # buffers are tiling-constrained (8-row alignment), HBM is not
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.HBM),),
             scratch_shapes=[
-                pltpu.VMEM((nswap, w), dtype),
+                pltpu.VMEM((nswap, 1, w), dtype),
                 pltpu.SemaphoreType.DMA((nswap,)),
             ],
         ),
-        out_shape=(jax.ShapeDtypeStruct((n, w), dtype),),
+        out_shape=(jax.ShapeDtypeStruct((n, 1, w), dtype),),
         input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
@@ -321,9 +325,9 @@ def laswp_apply(slab: jax.Array, cand: jax.Array, src: jax.Array):
     sources (the composed-row-map construction guarantees this)."""
     n, w = slab.shape
     (out,) = _build_laswp(n, w, int(cand.shape[0]), slab.dtype.name)(
-        cand.astype(jnp.int32), src.astype(jnp.int32), slab
+        cand.astype(jnp.int32), src.astype(jnp.int32), slab.reshape(n, 1, w)
     )
-    return out
+    return out.reshape(n, w)
 
 
 def _npv_kernel(block_ref, out_ref, info_ref, *, r: int):
