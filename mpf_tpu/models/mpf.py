@@ -140,7 +140,7 @@ def _inner_panel_step(slab, perm, piv_all, info, kk, jj0, rp, policy, pivot, pan
     # happens inside the kernel)
     cand = jnp.concatenate([j0 + _iota(rp), piv])
     src = jnp.take(pperm, cand)
-    if config.use_pallas():
+    if config.use_pallas() and bc % 128 == 0:
         from mpf_tpu.ops.panel_pallas import laswp_apply
 
         slab = laswp_apply(slab, cand, src)

@@ -251,6 +251,8 @@ def _laswp_kernel(cand_ref, src_ref, slab_in_ref, slab_ref, scratch, sems, *, ns
     composed row map.
     """
 
+    nsem = 16  # rolling window of in-flight DMAs (semaphore space is small)
+
     def gather_dma(i):
         # both buffers are (rows, 1, w): dynamic row indices land on the
         # untiled leading dim (slices of the tiled trailing (row, lane) dims
@@ -260,39 +262,38 @@ def _laswp_kernel(cand_ref, src_ref, slab_in_ref, slab_ref, scratch, sems, *, ns
         return pltpu.make_async_copy(
             slab_in_ref.at[src_ref[i]],
             scratch.at[i],
-            sems.at[i],
+            sems.at[i % nsem],
         )
 
     def scatter_dma(i):
         return pltpu.make_async_copy(
             scratch.at[i],
             slab_ref.at[cand_ref[i]],
-            sems.at[i],
+            sems.at[i % nsem],
         )
 
-    def start_gather(i, _):
-        gather_dma(i).start()
-        return 0
+    def _run_phase(dma):
+        def body(i, _):
+            @pl.when(i >= nsem)
+            def _():
+                dma(i - nsem).wait()
 
-    jax.lax.fori_loop(0, nswap, start_gather, 0)
+            dma(i).start()
+            return 0
 
-    def wait_gather(i, _):
-        gather_dma(i).wait()
-        return 0
+        jax.lax.fori_loop(0, nswap, body, 0)
 
-    jax.lax.fori_loop(0, nswap, wait_gather, 0)
+        def drain(i, _):
+            @pl.when(i >= max(nswap - nsem, 0))
+            def _():
+                dma(i).wait()
 
-    def start_scatter(i, _):
-        scatter_dma(i).start()
-        return 0
+            return 0
 
-    jax.lax.fori_loop(0, nswap, start_scatter, 0)
+        jax.lax.fori_loop(max(nswap - nsem, 0), nswap, drain, 0)
 
-    def wait_scatter(i, _):
-        scatter_dma(i).wait()
-        return 0
-
-    jax.lax.fori_loop(0, nswap, wait_scatter, 0)
+    _run_phase(gather_dma)   # all gathers complete before any scatter
+    _run_phase(scatter_dma)
 
 
 @functools.lru_cache(maxsize=64)
@@ -310,7 +311,7 @@ def _build_laswp(n: int, w: int, nswap: int, dtype_name: str):
             out_specs=(pl.BlockSpec(memory_space=pltpu.HBM),),
             scratch_shapes=[
                 pltpu.VMEM((nswap, 1, w), dtype),
-                pltpu.SemaphoreType.DMA((nswap,)),
+                pltpu.SemaphoreType.DMA((16,)),
             ],
         ),
         out_shape=(jax.ShapeDtypeStruct((n, 1, w), dtype),),
