@@ -11,12 +11,30 @@ import os
 
 import jax
 
+import contextlib
+
 _USE_PALLAS = os.environ.get("MPF_USE_PALLAS", "auto")
+_FORCE_JNP_DEPTH = 0
 
 
 def use_pallas() -> bool:
+    if _FORCE_JNP_DEPTH > 0:
+        return False
     if _USE_PALLAS == "1":
         return True
     if _USE_PALLAS == "0":
         return False
     return jax.default_backend() == "tpu"
+
+
+@contextlib.contextmanager
+def force_jnp_kernels():
+    """Trace-time override: use the jnp reference kernels regardless of
+    backend (e.g. under vmap, where the Pallas kernels' aliasing/DMA
+    patterns are not batchable)."""
+    global _FORCE_JNP_DEPTH
+    _FORCE_JNP_DEPTH += 1
+    try:
+        yield
+    finally:
+        _FORCE_JNP_DEPTH -= 1

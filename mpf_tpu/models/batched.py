@@ -24,9 +24,17 @@ def batched_factorize(
     policy: PrecisionPolicy = MPF_BF16,
     pivot: bool = True,
 ) -> MPFResult:
-    """Factor a (batch, n, n) stack of matrices.  Returns stacked MPFResult."""
+    """Factor a (batch, n, n) stack of matrices.  Returns stacked MPFResult.
+
+    Uses the jnp reference kernels (the fused Pallas kernels' in-place
+    aliasing / DMA patterns are not vmappable); batched problems are small
+    per-instance, so the vectorized XLA path is appropriate.
+    """
+    from mpf_tpu import config
+
     fn = lambda m: mpf_factorize_traced(m, r=r, policy=policy, pivot=pivot)
-    return jax.vmap(fn)(a)
+    with config.force_jnp_kernels():
+        return jax.vmap(fn)(a)
 
 
 @functools.partial(jax.jit, static_argnames=("r", "policy", "sweeps"))
@@ -39,4 +47,7 @@ def batched_solve(a: jax.Array, b: jax.Array, r: int = 128,
         res = mpf_factorize_traced(m, r=r, policy=policy, pivot=True)
         return ir_solve(m.astype(policy.working), res.lu, res.ipiv, rhs, sweeps=sweeps).x
 
-    return jax.vmap(one)(a, b)
+    from mpf_tpu import config
+
+    with config.force_jnp_kernels():
+        return jax.vmap(one)(a, b)
