@@ -125,8 +125,22 @@ def _inner_panel_step(slab, perm, piv_all, info, kk, jj0, rp, policy, pivot, pan
     j0 = kk + jj0  # global diagonal offset (traced)
 
     panel = jax.lax.dynamic_slice(slab, (0, jj0), (n, rp))
-    if pivot:
-        kern = panel_kernel if panel_kernel is not None else _auto_panel_kernel(n, rp)
+    use_fused = (
+        pivot
+        and panel_kernel is None
+        and config.use_pallas()
+        and n % 128 == 0
+        and rp % 8 == 0
+    )
+    srcs = None
+    if use_fused:
+        from mpf_tpu.ops.panel_pallas import hgetf2_panel_swaps
+
+        piv, pperm, perm, srcs = hgetf2_panel_swaps(
+            cast_to_panel(panel, policy), j0, perm
+        )
+    elif pivot:
+        kern = panel_kernel if panel_kernel is not None else panel_pivots_perm
         piv, pperm, perm = kern(
             cast_to_panel(panel, policy), row_offset=j0, prev_perm=perm
         )
@@ -136,10 +150,10 @@ def _inner_panel_step(slab, perm, piv_all, info, kk, jj0, rp, policy, pivot, pan
 
     # LASWP over the slab: one bounded row exchange over the <=2r global
     # row positions that can move (sequential-swap semantics preserved by
-    # the composed row map from the panel kernel; cross-panel composition
-    # happens inside the kernel)
+    # the composed row map; cross-panel composition and the gather-source
+    # resolution both happen inside the panel kernel)
     cand = jnp.concatenate([j0 + _iota(rp), piv])
-    src = jnp.take(pperm, cand)
+    src = srcs if srcs is not None else jnp.take(pperm, cand)
     if config.use_pallas() and bc % 128 == 0:
         from mpf_tpu.ops.panel_pallas import laswp_apply
 

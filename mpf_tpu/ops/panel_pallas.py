@@ -49,7 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _hgetf2t_kernel(
-    off_ref, pt_in_ref, prev_perm_ref, pt_ref, piv_ref, perm_ref, cperm_ref, *, r: int
+    off_ref, pt_in_ref, prev_perm_ref, pt_ref, piv_ref, perm_ref, cperm_ref,
+    srcs_ref, *, r: int
 ):
     """Pre-pivoting panel LU on the transposed (r, m) panel.
 
@@ -66,7 +67,7 @@ def _hgetf2t_kernel(
     gperm0 = prev_perm_ref[:]
 
     def body(j, carry):
-        perm, pos, piv, gperm = carry  # (1, m) x2, (1, r), (1, m) int32
+        perm, pos, piv, gperm, srcd = carry  # (1,m)x2, (1,r), (1,m), (1,r)
         d = off + j
         # panel column j == row j of the transposed panel: aligned 8-row
         # slab read + masked select (one (8, m) pass)
@@ -87,6 +88,9 @@ def _hgetf2t_kernel(
         pos = jnp.where(lanes == o, d, jnp.where(lanes == o2, cp, pos))
         perm = jnp.where(lanes == d, o, jnp.where(lanes == cp, o2, perm))
         piv = jnp.where(pivlanes == j, cp, piv)
+        # the final row landing at position d is o (position d is never
+        # swapped again) — record the LASWP gather source for dest rows
+        srcd = jnp.where(pivlanes == j, o, srcd)
         # compose the same swap into the carried global row map
         g_d = jnp.sum(jnp.where(lanes == d, gperm, 0))
         g_cp = jnp.sum(jnp.where(lanes == cp, gperm, 0))
@@ -103,14 +107,24 @@ def _hgetf2t_kernel(
         )  # (r, 1)
         ucol = jnp.where(rcols > j, ucol, 0.0).astype(pt_ref.dtype)
         pt_ref[:] = p - ucol * mult
-        return perm, pos, piv, gperm
+        return perm, pos, piv, gperm, srcd
 
-    perm, _, piv, gperm = jax.lax.fori_loop(
-        0, r, body, (lanes, lanes, pivlanes + off, gperm0)
+    perm, _, piv, gperm, srcd = jax.lax.fori_loop(
+        0, r, body, (lanes, lanes, pivlanes + off, gperm0, pivlanes + off)
     )
     perm_ref[:] = perm
     piv_ref[:] = piv
     cperm_ref[:] = gperm
+
+    # LASWP sources for the pivot-position rows: perm_final[piv[j]] (pivot
+    # positions may be re-swapped by later columns, so resolve at the end)
+    def src_body(j, srcp):
+        pj = jnp.sum(jnp.where(pivlanes == j, piv, 0))
+        sp = jnp.sum(jnp.where(lanes == pj, perm, 0))
+        return jnp.where(pivlanes == j, sp, srcp)
+
+    srcp = jax.lax.fori_loop(0, r, src_body, pivlanes + off)
+    srcs_ref[:] = jnp.concatenate([srcd, srcp], axis=1)  # (1, 2r)
 
 
 @functools.lru_cache(maxsize=64)
@@ -131,6 +145,7 @@ def _build_hgetf2t(m: int, r: int, dtype_name: str):
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # piv (1, r)
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # panel-local perm (1, m)
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # composed perm (1, m)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # LASWP sources (1, 2r)
             ),
         ),
         out_shape=(
@@ -138,6 +153,7 @@ def _build_hgetf2t(m: int, r: int, dtype_name: str):
             jax.ShapeDtypeStruct((1, r), jnp.int32),
             jax.ShapeDtypeStruct((1, m), jnp.int32),
             jax.ShapeDtypeStruct((1, m), jnp.int32),
+            jax.ShapeDtypeStruct((1, 2 * r), jnp.int32),
         ),
         input_output_aliases={1: 0},  # panel input -> trashed panel output
         compiler_params=pltpu.CompilerParams(
@@ -154,24 +170,39 @@ def hgetf2_panel(panel: jax.Array, row_offset=0, prev_perm=None):
     * ``piv`` (r,): 0-based pivot positions (panel-array rows)
     * ``perm`` (m,): THIS panel's row map (A_new[i] = A_old[perm[i]])
     * when ``prev_perm`` (m,) is given, additionally returns the fully
-      composed map prev âˆ˜ this (swap composition runs inside the kernel —
+      composed map prev ∘ this (swap composition runs inside the kernel —
       XLA 1D gathers are ~0.7 ms/panel on TPU, in-kernel composition is
       ~free).
 
     The low-precision numeric factors are discarded (reference semantics,
     SURVEY.md section 0)."""
     m, r = panel.shape
+    piv, perm, cperm, _ = _hgetf2_full(panel, row_offset, prev_perm)
+    if prev_perm is not None:
+        return piv, perm, cperm
+    return piv, perm
+
+
+def hgetf2_panel_swaps(panel: jax.Array, row_offset, prev_perm):
+    """Like :func:`hgetf2_panel` but also returns the LASWP gather sources
+    ``srcs`` (2r,) aligned with ``cand = concat([row_offset + arange(r),
+    piv])`` — everything the bounded row exchange needs, with no XLA
+    gathers at all."""
+    return _hgetf2_full(panel, row_offset, prev_perm)
+
+
+def _hgetf2_full(panel, row_offset, prev_perm):
+    m, r = panel.shape
     off = jnp.asarray(row_offset, jnp.int32).reshape(1)
     pt = jnp.swapaxes(panel, 0, 1)  # (r, m): lane-major columns
-    gave_prev = prev_perm is not None
     if prev_perm is None:
         prev_perm = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
     else:
         prev_perm = prev_perm.reshape(1, m)
-    _, piv, perm, cperm = _build_hgetf2t(m, r, panel.dtype.name)(off, pt, prev_perm)
-    if gave_prev:
-        return piv[0, :], perm[0, :], cperm[0, :]
-    return piv[0, :], perm[0, :]
+    _, piv, perm, cperm, srcs = _build_hgetf2t(m, r, panel.dtype.name)(
+        off, pt, prev_perm
+    )
+    return piv[0, :], perm[0, :], cperm[0, :], srcs[0, :]
 
 
 def _npv_inv_kernel(block_ref, out_ref, linv_ref, uinv_ref, info_ref, *, r: int):
