@@ -274,18 +274,26 @@ def mpf_factorize_traced(
         ipiv = ipiv.at[k : k + bc].set(piv_b + 1)  # piv_b is global 0-based
         info = jnp.where((info == 0) & (info_b > 0), info_b, info)
 
-        # LASWP on the rest of the matrix: one bounded gather over the <=2bc
-        # global row positions that can have moved (full LAPACK row-swap
-        # semantics, `MPF.cu:42-59`, including already-factored L columns)
+        # LASWP on the rest of the matrix: one bounded row exchange over the
+        # <=2bc global positions that can have moved (full LAPACK row-swap
+        # semantics, `MPF.cu:42-59`, including already-factored L columns).
+        # The full-width exchange double-swaps the block column; the factored
+        # slab write below overwrites it with the correct values.
         if pivot and (k > 0 or k + bc < n):
             cand = jnp.concatenate([k + _iota(bc), piv_b])  # global positions
             src = jnp.take(perm, cand)
-            if k > 0:
-                left = a[:, :k]
-                a = a.at[cand, :k].set(jnp.take(left, src, axis=0))
-            if k + bc < n:
-                right = a[:, k + bc :]
-                a = a.at[cand, k + bc :].set(jnp.take(right, src, axis=0))
+            if config.use_pallas() and n % 128 == 0:
+                from mpf_tpu.ops.panel_pallas import laswp_apply
+
+                a = laswp_apply(a, cand, src)
+                a = a.at[:, k : k + bc].set(slab)
+            else:
+                if k > 0:
+                    left = a[:, :k]
+                    a = a.at[cand, :k].set(jnp.take(left, src, axis=0))
+                if k + bc < n:
+                    right = a[:, k + bc :]
+                    a = a.at[cand, k + bc :].set(jnp.take(right, src, axis=0))
 
         if k + bc < n:
             # U12 block: L11^{-1} A12 via log-depth blocked triangular inverse

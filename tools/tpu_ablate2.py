@@ -98,9 +98,6 @@ def run(label):
 
 
 for label, toggles in [
-    ("baseline", set()),
-    ("no_panel", {"panel"}),
-    ("no_laswp", {"laswp"}),
     ("no_npv", {"npv"}),
     ("no_dus", {"dus"}),
     ("no_l21gemm", {"l21gemm"}),
