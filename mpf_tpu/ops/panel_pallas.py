@@ -272,6 +272,9 @@ def _npv_inv_kernel(block_ref, out_ref, linv_ref, uinv_ref, info_ref, *, r: int)
 
 
 def _laswp_kernel(cand_ref, src_ref, slab_in_ref, slab_ref, scratch, sems, *, nswap: int):
+    """See laswp_apply.  ``scratch`` is an HBM staging buffer (an extra
+    kernel output) so arbitrarily wide exchanges never pressure VMEM;
+    HBM->HBM DMAs carry the rows."""
     """Row exchange via overlapped per-row DMAs (the reference's
     `LASWP_kernel`, `MPF.cu:42-59`, as a TPU DMA kernel).
 
@@ -327,10 +330,16 @@ def _laswp_kernel(cand_ref, src_ref, slab_in_ref, slab_ref, scratch, sems, *, ns
     _run_phase(scatter_dma)
 
 
+def _laswp_kernel_v(cand_ref, src_ref, slab_in_ref, slab_ref, stage_ref, sems, *, nswap: int):
+    return _laswp_kernel(
+        cand_ref, src_ref, slab_in_ref, slab_ref, stage_ref, sems, nswap=nswap
+    )
+
+
 @functools.lru_cache(maxsize=64)
 def _build_laswp(n: int, w: int, nswap: int, dtype_name: str):
     dtype = jnp.dtype(dtype_name)
-    kernel = functools.partial(_laswp_kernel, nswap=nswap)
+    kernel = functools.partial(_laswp_kernel_v, nswap=nswap)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -339,13 +348,18 @@ def _build_laswp(n: int, w: int, nswap: int, dtype_name: str):
             # the slab must stay in HBM: DMA row slices of VMEM-resident
             # buffers are tiling-constrained (8-row alignment), HBM is not
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-            out_specs=(pl.BlockSpec(memory_space=pltpu.HBM),),
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),  # staging buffer
+            ),
             scratch_shapes=[
-                pltpu.VMEM((nswap, 1, w), dtype),
                 pltpu.SemaphoreType.DMA((16,)),
             ],
         ),
-        out_shape=(jax.ShapeDtypeStruct((n, 1, w), dtype),),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 1, w), dtype),
+            jax.ShapeDtypeStruct((nswap, 1, w), dtype),
+        ),
         input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
@@ -356,7 +370,7 @@ def laswp_apply(slab: jax.Array, cand: jax.Array, src: jax.Array):
     slab_old[src[i], :].  Duplicate cand entries must carry identical
     sources (the composed-row-map construction guarantees this)."""
     n, w = slab.shape
-    (out,) = _build_laswp(n, w, int(cand.shape[0]), slab.dtype.name)(
+    out, _ = _build_laswp(n, w, int(cand.shape[0]), slab.dtype.name)(
         cand.astype(jnp.int32), src.astype(jnp.int32), slab.reshape(n, 1, w)
     )
     return out.reshape(n, w)
