@@ -29,6 +29,9 @@ def _print_matrix(name, m):
         print("  " + " ".join(f"{v:7.3f}" for v in row))
 
 
+import mpf_tpu.config  # applies MPF_FORCE_CPU before jax init
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="mpf-benchmark")
     ap.add_argument("file", help="corpus file (matrix_generator format)")

@@ -11,6 +11,9 @@ import json
 import sys
 
 
+import mpf_tpu.config  # applies MPF_FORCE_CPU before jax init
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     from mpf_tpu.parallel.mesh import device_report

@@ -17,6 +17,17 @@ _USE_PALLAS = os.environ.get("MPF_USE_PALLAS", "auto")
 _FORCE_JNP_DEPTH = 0
 
 
+def apply_env_platform():
+    """Honor MPF_FORCE_CPU=1 (the session's TPU plugin ignores the
+    JAX_PLATFORMS env var, so subprocesses — e.g. CLI tools under test —
+    need an explicit config override before backend init)."""
+    if os.environ.get("MPF_FORCE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+
+
+apply_env_platform()
+
+
 def use_pallas() -> bool:
     if _FORCE_JNP_DEPTH > 0:
         return False

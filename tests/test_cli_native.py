@@ -86,7 +86,7 @@ def test_benchmark_cli(tmp_path):
 
     matio.write_matrix_file(corpus, matgen.generate_corpus(8))
     csv = str(tmp_path / "times.csv")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, MPF_FORCE_CPU="1")
     r = subprocess.run(
         [sys.executable, "-m", "mpf_tpu.cli.benchmark", corpus, "--csv", csv, "--r", "4"],
         capture_output=True, text=True, cwd=REPO, env=env,
@@ -99,7 +99,7 @@ def test_benchmark_cli(tmp_path):
 
 
 def test_probe_cli():
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, MPF_FORCE_CPU="1")
     r = subprocess.run(
         [sys.executable, "-m", "mpf_tpu.cli.probe", "--json"],
         capture_output=True, text=True, cwd=REPO, env=env,
