@@ -70,7 +70,9 @@ def _hgetf2t_kernel(
         perm, pos, piv, gperm, srcd = carry  # (1,m)x2, (1,r), (1,m), (1,r)
         d = off + j
         # panel column j == row j of the transposed panel: aligned 8-row
-        # slab read + masked select (one (8, m) pass)
+        # slab read + masked select (one (8, m) pass).  ALL reduced values
+        # stay (1, 1) arrays — vector->scalar extraction stalls the VPU
+        # pipeline ~5us each, which dominated earlier kernel versions.
         sb = pl.multiple_of((j // 8) * 8, 8)
         slab = pt_ref[pl.ds(sb, 8), :]
         srows = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
@@ -81,10 +83,12 @@ def _hgetf2t_kernel(
         )  # (1, m) fp32, signed
         # pivot search over rows not yet chosen; lowest current position wins
         cabs = jnp.where(pos >= d, jnp.abs(colv), jnp.float32(-1.0))
-        mx = jnp.max(cabs)
-        cp = jnp.min(jnp.where((cabs == mx) & (pos >= d), pos, m))
-        o = jnp.sum(jnp.where(pos == cp, lanes, 0))   # original row at cp
-        o2 = jnp.sum(jnp.where(pos == d, lanes, 0))   # original row at d
+        mx = jnp.max(cabs, axis=1, keepdims=True)                    # (1, 1)
+        cp = jnp.min(
+            jnp.where((cabs == mx) & (pos >= d), pos, m), axis=1, keepdims=True
+        )  # (1, 1) current position of the winner
+        o = jnp.sum(jnp.where(pos == cp, lanes, 0), axis=1, keepdims=True)
+        o2 = jnp.sum(jnp.where(pos == d, lanes, 0), axis=1, keepdims=True)
         pos = jnp.where(lanes == o, d, jnp.where(lanes == o2, cp, pos))
         perm = jnp.where(lanes == d, o, jnp.where(lanes == cp, o2, perm))
         piv = jnp.where(pivlanes == j, cp, piv)
@@ -92,11 +96,11 @@ def _hgetf2t_kernel(
         # swapped again) — record the LASWP gather source for dest rows
         srcd = jnp.where(pivlanes == j, o, srcd)
         # compose the same swap into the carried global row map
-        g_d = jnp.sum(jnp.where(lanes == d, gperm, 0))
-        g_cp = jnp.sum(jnp.where(lanes == cp, gperm, 0))
+        g_d = jnp.sum(jnp.where(lanes == d, gperm, 0), axis=1, keepdims=True)
+        g_cp = jnp.sum(jnp.where(lanes == cp, gperm, 0), axis=1, keepdims=True)
         gperm = jnp.where(lanes == d, g_cp, jnp.where(lanes == cp, g_d, gperm))
         # multipliers (fp32 compute, panel-dtype storage-free rank-1)
-        pivval = jnp.sum(jnp.where(lanes == o, colv, 0.0))
+        pivval = jnp.sum(jnp.where(lanes == o, colv, 0.0), axis=1, keepdims=True)
         safe = jnp.where(pivval == 0, jnp.float32(1), pivval)
         mult = jnp.where(pos > d, colv / safe, 0.0).astype(pt_ref.dtype)  # (1, m)
         # pivot row of the original panel == lane o of the transposed panel:
@@ -119,8 +123,8 @@ def _hgetf2t_kernel(
     # LASWP sources for the pivot-position rows: perm_final[piv[j]] (pivot
     # positions may be re-swapped by later columns, so resolve at the end)
     def src_body(j, srcp):
-        pj = jnp.sum(jnp.where(pivlanes == j, piv, 0))
-        sp = jnp.sum(jnp.where(lanes == pj, perm, 0))
+        pj = jnp.sum(jnp.where(pivlanes == j, piv, 0), axis=1, keepdims=True)
+        sp = jnp.sum(jnp.where(lanes == pj, perm, 0), axis=1, keepdims=True)
         return jnp.where(pivlanes == j, sp, srcp)
 
     srcp = jax.lax.fori_loop(0, r, src_body, pivlanes + off)
@@ -222,19 +226,16 @@ def _npv_inv_kernel(block_ref, out_ref, linv_ref, uinv_ref, info_ref, *, r: int)
     rows = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
     eye = (rows == cols).astype(block_ref.dtype)
-    info_ref[0, 0] = jnp.int32(0)
     out_ref[:] = block_ref[:]
     linv_ref[:] = eye
+    zero11 = jnp.zeros((1, 1), jnp.int32)
 
-    def body(j, _):
+    def body(j, info):
+        # all reduced values stay (1, 1) — vector->scalar extraction stalls
         b = out_ref[:]
         colv = jnp.sum(jnp.where(cols == j, b, 0), axis=1, keepdims=True)
-        pivval = jnp.sum(jnp.where(rows == j, colv, 0.0))
-
-        @pl.when((pivval == 0) & (info_ref[0, 0] == 0))
-        def _():
-            info_ref[0, 0] = j + 1
-
+        pivval = jnp.sum(jnp.where(rows == j, colv, 0.0), axis=0, keepdims=True)
+        info = jnp.where((pivval == 0) & (info == 0), j + 1, info)
         safe = jnp.where(pivval == 0, jnp.ones_like(pivval), pivval)
         mult = jnp.where(rows > j, colv / safe, 0.0)
         urow = jnp.sum(jnp.where(rows == j, b, 0), axis=0, keepdims=True)
@@ -245,9 +246,10 @@ def _npv_inv_kernel(block_ref, out_ref, linv_ref, uinv_ref, info_ref, *, r: int)
         li = linv_ref[:]
         lrow = jnp.sum(jnp.where(rows == j, li, 0), axis=0, keepdims=True)
         linv_ref[:] = li - mult * lrow
-        return 0
+        return info
 
-    jax.lax.fori_loop(0, r, body, 0)
+    info = jax.lax.fori_loop(0, r, body, zero11)
+    info_ref[0, 0] = info[0, 0]
 
     # backward substitution for U^{-1}: for i = r-1..0,
     #   Y[i, :] = (e_i - sum_{k>i} U[i,k] Y[k, :]) / U[i,i]
@@ -258,7 +260,7 @@ def _npv_inv_kernel(block_ref, out_ref, linv_ref, uinv_ref, info_ref, *, r: int)
         u = out_ref[:]
         y = uinv_ref[:]
         urow = jnp.sum(jnp.where(rows == i, u, 0), axis=0, keepdims=True)  # (1, r)
-        uii = jnp.sum(jnp.where(cols == i, urow, 0.0))
+        uii = jnp.sum(jnp.where(cols == i, urow, 0.0), axis=1, keepdims=True)
         safe = jnp.where(uii == 0, jnp.ones_like(uii), uii)
         urow_m = jnp.where(cols > i, urow, jnp.zeros_like(urow))
         # acc[0, c] = sum_{k>i} U[i, k] * Y[k, c]  — one (1,r)x(r,r) matvec
@@ -379,27 +381,23 @@ def laswp_apply(slab: jax.Array, cand: jax.Array, src: jax.Array):
 def _npv_kernel(block_ref, out_ref, info_ref, *, r: int):
     rows = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
-    info_ref[0, 0] = jnp.int32(0)
     out_ref[:] = block_ref[:]
 
-    def body(j, _):
+    def body(j, info):
         b = out_ref[:]
         colv = jnp.sum(jnp.where(cols == j, b, 0), axis=1, keepdims=True)
-        pivval = jnp.sum(jnp.where(rows == j, colv, 0.0))
-
-        @pl.when((pivval == 0) & (info_ref[0, 0] == 0))
-        def _():
-            info_ref[0, 0] = j + 1
-
+        pivval = jnp.sum(jnp.where(rows == j, colv, 0.0), axis=0, keepdims=True)
+        info = jnp.where((pivval == 0) & (info == 0), j + 1, info)
         safe = jnp.where(pivval == 0, jnp.ones_like(pivval), pivval)
         mult = jnp.where(rows > j, colv / safe, 0.0)
         urow = jnp.sum(jnp.where(rows == j, b, 0), axis=0, keepdims=True)
         urow_m = jnp.where(cols > j, urow, jnp.zeros_like(urow))
         upd = b - mult * urow_m
         out_ref[:] = jnp.where((cols == j) & (rows > j), mult, upd)
-        return 0
+        return info
 
-    jax.lax.fori_loop(0, r, body, 0)
+    info = jax.lax.fori_loop(0, r, body, jnp.zeros((1, 1), jnp.int32))
+    info_ref[0, 0] = info[0, 0]
 
 
 @functools.lru_cache(maxsize=64)
