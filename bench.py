@@ -30,21 +30,22 @@ from mpf_tpu.utils.oracle import check_factorization
 
 
 def main():
-    n = int(os.environ.get("BENCH_N", "8192"))
-    r = int(os.environ.get("BENCH_R", "256"))
+    n = int(os.environ.get("BENCH_N", "16384"))
+    r = int(os.environ.get("BENCH_R", "128"))
+    block = int(os.environ.get("BENCH_BLOCK", "2048"))
     policy = MPF_BF16
 
     a_np = matgen.hpl_ai_matrix(n, seed=0)
     a = jnp.asarray(a_np)
 
-    fac = mpf_tpu.make_mpf(n, r=r, policy=policy, donate=False)
+    fac = mpf_tpu.make_mpf(n, r=r, policy=policy, block=block, donate=False)
     secs, res = time_fn(fac, a, warmup=1, iters=3)
     ours = tflops(n, secs)
 
     # correctness gate on a smaller instance (full oracle is O(n^3) on host)
     n_chk = 2048
     a_chk = matgen.hpl_ai_matrix(n_chk, seed=1)
-    res_chk = mpf_tpu.mpf_factorize(jnp.asarray(a_chk), r=r, policy=policy)
+    res_chk = mpf_tpu.mpf_factorize(jnp.asarray(a_chk), r=r, policy=policy, block=block)
     rep = check_factorization(
         a_chk, np.asarray(res_chk.lu), np.asarray(res_chk.ipiv), nbe_tol=1e-3
     )
