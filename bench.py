@@ -32,7 +32,7 @@ from mpf_tpu.utils.oracle import check_factorization
 def main():
     n = int(os.environ.get("BENCH_N", "16384"))
     r = int(os.environ.get("BENCH_R", "128"))
-    block = int(os.environ.get("BENCH_BLOCK", "2048"))
+    block = int(os.environ.get("BENCH_BLOCK", "1024"))
     policy = MPF_BF16
 
     a_np = matgen.hpl_ai_matrix(n, seed=0)

@@ -22,8 +22,8 @@ from mpf_tpu.utils import matgen
 from mpf_tpu.utils.timing import time_fn, tflops
 
 cfg._USE_PALLAS = "1"
-N = int(os.environ.get("ABLATE_N", "8192"))
-R, BLK = 128, 2048
+N = int(os.environ.get("ABLATE_N", "16384"))
+R, BLK = 128, int(os.environ.get("ABLATE_BLK", "1024"))
 a = jnp.asarray(matgen.hpl_ai_matrix(N, seed=0))
 
 TOGGLES = set()
@@ -98,8 +98,8 @@ def run(label):
 
 
 for label, toggles in [
-    ("no_npv", {"npv"}),
-    ("no_dus", {"dus"}),
+    ("baseline", set()),
+    ("no_l21gemm", {"l21gemm"}),
     ("no_l21gemm", {"l21gemm"}),
     ("no_u12gemm", {"u12gemm"}),
     ("no_trail", {"trail"}),
