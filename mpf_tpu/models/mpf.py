@@ -131,13 +131,16 @@ def _inner_panel_step(slab, perm, piv_all, info, kk, jj0, rp, policy, pivot, pan
         and config.use_pallas()
         and n % 128 == 0
         and rp % 8 == 0
+        and not policy.saturate_panel  # saturating casts stay XLA-side
+        and jnp.dtype(policy.panel) in (jnp.bfloat16, jnp.float32)
     )
     srcs = None
     if use_fused:
         from mpf_tpu.ops.panel_pallas import hgetf2_panel_swaps
 
+        # working-precision panel straight in; cast+transpose run in-kernel
         piv, pperm, perm, srcs = hgetf2_panel_swaps(
-            cast_to_panel(panel, policy), j0, perm
+            panel, j0, perm, panel_dtype=policy.panel
         )
     elif pivot:
         kern = panel_kernel if panel_kernel is not None else panel_pivots_perm

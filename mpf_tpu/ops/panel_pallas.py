@@ -49,17 +49,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _hgetf2t_kernel(
-    off_ref, pt_in_ref, prev_perm_ref, pt_ref, piv_ref, perm_ref, cperm_ref,
-    srcs_ref, *, r: int
+    off_ref, panel_ref, prev_perm_ref, piv_ref, perm_ref, cperm_ref,
+    srcs_ref, pt_ref, *, r: int
 ):
-    """Pre-pivoting panel LU on the transposed (r, m) panel.
+    """Pre-pivoting panel LU.  ``panel_ref`` is the natural (m, r) panel in
+    working precision; the kernel casts to the low panel dtype and
+    transposes into the (r, m) VMEM scratch ``pt_ref`` (both ops are ~free
+    in-kernel; the XLA-level cast+transpose cost ~150 us per panel).
 
     ``prev_perm_ref`` (1, m) is the row map composed by earlier panels; this
     kernel applies its own swaps to it scalar-by-scalar and emits the fully
     composed map — the driver never performs an XLA gather to compose
     permutations (XLA 1D gathers cost ~0.7 ms per panel on this TPU)."""
     m = pt_ref.shape[1]
-    pt_ref[:] = pt_in_ref[:]  # no-op self-copy under aliasing; initializes
+    pt_ref[:] = jnp.swapaxes(panel_ref[:].astype(pt_ref.dtype), 0, 1)
     off = off_ref[0]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)   # global row ids
     rcols = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)   # panel col ids
@@ -132,8 +135,9 @@ def _hgetf2t_kernel(
 
 
 @functools.lru_cache(maxsize=64)
-def _build_hgetf2t(m: int, r: int, dtype_name: str):
-    dtype = jnp.dtype(dtype_name)
+def _build_hgetf2t(m: int, r: int, in_dtype_name: str, panel_dtype_name: str):
+    in_dtype = jnp.dtype(in_dtype_name)
+    panel_dtype = jnp.dtype(panel_dtype_name)
     kernel = functools.partial(_hgetf2t_kernel, r=r)
     return pl.pallas_call(
         kernel,
@@ -141,28 +145,30 @@ def _build_hgetf2t(m: int, r: int, dtype_name: str):
             num_scalar_prefetch=1,
             grid=(),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # transposed panel
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # (m, r) working panel
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # prev composed perm
             ],
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # trashed panel (aliased)
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # piv (1, r)
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # panel-local perm (1, m)
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # composed perm (1, m)
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # LASWP sources (1, 2r)
             ),
+            scratch_shapes=[
+                pltpu.VMEM((r, m), panel_dtype),  # transposed low-prec panel
+            ],
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((r, m), dtype),
             jax.ShapeDtypeStruct((1, r), jnp.int32),
             jax.ShapeDtypeStruct((1, m), jnp.int32),
             jax.ShapeDtypeStruct((1, m), jnp.int32),
             jax.ShapeDtypeStruct((1, 2 * r), jnp.int32),
         ),
-        input_output_aliases={1: 0},  # panel input -> trashed panel output
         compiler_params=pltpu.CompilerParams(
-            # panel + fp32 temporaries + int32 maps
-            vmem_limit_bytes=int(3 * m * r * dtype.itemsize + (16 << 20)),
+            # input panel + transposed scratch + fp32 temporaries + int maps
+            vmem_limit_bytes=int(
+                m * r * (in_dtype.itemsize + 2 * panel_dtype.itemsize) + (24 << 20)
+            ),
         ),
     )
 
@@ -187,25 +193,26 @@ def hgetf2_panel(panel: jax.Array, row_offset=0, prev_perm=None):
     return piv, perm
 
 
-def hgetf2_panel_swaps(panel: jax.Array, row_offset, prev_perm):
+def hgetf2_panel_swaps(panel: jax.Array, row_offset, prev_perm, panel_dtype=None):
     """Like :func:`hgetf2_panel` but also returns the LASWP gather sources
     ``srcs`` (2r,) aligned with ``cand = concat([row_offset + arange(r),
     piv])`` — everything the bounded row exchange needs, with no XLA
-    gathers at all."""
-    return _hgetf2_full(panel, row_offset, prev_perm)
+    gathers at all.  ``panel`` may be the working-precision slice; the cast
+    to ``panel_dtype`` (default: panel's own dtype) happens in-kernel."""
+    return _hgetf2_full(panel, row_offset, prev_perm, panel_dtype)
 
 
-def _hgetf2_full(panel, row_offset, prev_perm):
+def _hgetf2_full(panel, row_offset, prev_perm, panel_dtype=None):
     m, r = panel.shape
     off = jnp.asarray(row_offset, jnp.int32).reshape(1)
-    pt = jnp.swapaxes(panel, 0, 1)  # (r, m): lane-major columns
+    panel_dtype = jnp.dtype(panel_dtype or panel.dtype)
     if prev_perm is None:
         prev_perm = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
     else:
         prev_perm = prev_perm.reshape(1, m)
-    _, piv, perm, cperm, srcs = _build_hgetf2t(m, r, panel.dtype.name)(
-        off, pt, prev_perm
-    )
+    piv, perm, cperm, srcs = _build_hgetf2t(
+        m, r, panel.dtype.name, panel_dtype.name
+    )(off, panel, prev_perm)
     return piv[0, :], perm[0, :], cperm[0, :], srcs[0, :]
 
 
