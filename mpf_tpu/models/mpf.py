@@ -111,23 +111,20 @@ def _iota(n):
 def _inner_panel_step(slab, perm, piv_all, info, kk, jj0, rp, policy, pivot, panel_kernel):
     """One r-wide panel step inside a block column.
 
-    ``slab``: (n, 1, bc) full-height block-column slab (columns kk..kk+bc of
-    the matrix; the unit middle dim keeps the buffer 3D so the DMA row-
-    exchange kernel needs no reshape — XLA materializes reshapes around
-    custom calls at ~0.5 ms each); ``jj0``: traced slab-local column offset
-    (global diagonal sits at row/column kk + jj0); ``rp``: static panel
-    width.  Fixed shapes, masked updates.  Panels are always full height so
-    ONE Pallas kernel instance serves every panel of the factorization
-    (instances are shape-keyed; per-instance first-run compilation is
-    expensive).
+    ``slab``: (n, bc) full-height block-column slab (columns kk..kk+bc of the
+    matrix); ``jj0``: traced slab-local column offset (global diagonal sits
+    at row/column kk + jj0); ``rp``: static panel width.  Fixed shapes,
+    masked updates.  Panels are always full height so ONE Pallas kernel
+    instance serves every panel of the factorization (instances are
+    shape-keyed; per-instance first-run compilation is expensive).
     """
-    n, _, bc = slab.shape
+    n, bc = slab.shape
     rows = _iota(n)
     cols = _iota(bc)
     fprec = _mm_precision(slab)
     j0 = kk + jj0  # global diagonal offset (traced)
 
-    panel = jax.lax.dynamic_slice(slab, (0, 0, jj0), (n, 1, rp)).reshape(n, rp)
+    panel = jax.lax.dynamic_slice(slab, (0, jj0), (n, rp))
     use_fused = (
         pivot
         and panel_kernel is None
@@ -163,37 +160,37 @@ def _inner_panel_step(slab, perm, piv_all, info, kk, jj0, rp, policy, pivot, pan
     if config.use_pallas() and bc % 128 == 0:
         from mpf_tpu.ops.panel_pallas import laswp_apply
 
-        slab = laswp_apply(slab, cand, src)  # 3D in, 3D out — no reshape
+        slab = laswp_apply(slab, cand, src)
     else:
         moved_rows = jnp.take(slab, src, axis=0)
-        slab = slab.at[cand].set(moved_rows)
+        slab = slab.at[cand, :].set(moved_rows)
     piv_all = jax.lax.dynamic_update_slice(piv_all, piv, (jj0,))
 
     # working-precision no-pivot re-factorization of the rp x rp diag block,
     # with triangular inverses fused into the same kernel
-    diag = jax.lax.dynamic_slice(slab, (j0, 0, jj0), (rp, 1, rp)).reshape(rp, rp)
+    diag = jax.lax.dynamic_slice(slab, (j0, jj0), (rp, rp))
     diag_lu, linv, uinv, info_k = _auto_npv_inv_kernel(rp)(diag)
     info = jnp.where((info == 0) & (info_k > 0), info_k + j0, info)
-    slab = jax.lax.dynamic_update_slice(slab, diag_lu.reshape(rp, 1, rp), (j0, 0, jj0))
+    slab = jax.lax.dynamic_update_slice(slab, diag_lu, (j0, jj0))
 
     # L21 = A21 U11^{-1} (full-height masked GEMM)
-    colp = jax.lax.dynamic_slice(slab, (0, 0, jj0), (n, 1, rp)).reshape(n, rp)
+    colp = jax.lax.dynamic_slice(slab, (0, jj0), (n, rp))
     l21 = jnp.dot(
         colp, uinv, preferred_element_type=policy.accum, precision=fprec
     ).astype(slab.dtype)
     below = rows >= j0 + rp
     l21 = jnp.where(below[:, None], l21, colp)
-    slab = jax.lax.dynamic_update_slice(slab, l21.reshape(n, 1, rp), (0, 0, jj0))
+    slab = jax.lax.dynamic_update_slice(slab, l21, (0, jj0))
 
     # U12 within the block column (full-width masked)
-    rowp = jax.lax.dynamic_slice(slab, (j0, 0, 0), (rp, 1, bc)).reshape(rp, bc)
+    rowp = jax.lax.dynamic_slice(slab, (j0, 0), (rp, bc))
     u12 = jnp.dot(
         linv, rowp, preferred_element_type=policy.accum,
         precision=fprec,
     ).astype(slab.dtype)
     right = cols >= jj0 + rp
     u12 = jnp.where(right[None, :], u12, rowp)
-    slab = jax.lax.dynamic_update_slice(slab, u12.reshape(rp, 1, bc), (j0, 0, 0))
+    slab = jax.lax.dynamic_update_slice(slab, u12, (j0, 0))
 
     # trailing update within the block column (masked rank-rp MXU GEMM)
     lm = jnp.where(below[:, None], l21, 0).astype(policy.gemm_in)
@@ -201,7 +198,7 @@ def _inner_panel_step(slab, perm, piv_all, info, kk, jj0, rp, policy, pivot, pan
     upd = jnp.dot(
         lm, um, preferred_element_type=policy.accum, precision=_mm_precision(lm)
     )
-    slab = (slab.astype(policy.accum) - upd[:, None, :]).astype(slab.dtype)
+    slab = (slab.astype(policy.accum) - upd).astype(slab.dtype)
     return slab, perm, piv_all, info
 
 
@@ -211,7 +208,7 @@ def _factor_block_column(slab, kk, r, policy, pivot, panel_kernel):
 
     Returns (factored slab, composed global row map perm (n,), global
     0-based pivot rows (bc,), global info)."""
-    n, _, bc = slab.shape
+    n, bc = slab.shape
     perm0 = _iota(n)
     piv0 = kk + _iota(bc)
     nfull, tail = divmod(bc, r)
@@ -230,7 +227,7 @@ def _factor_block_column(slab, kk, r, policy, pivot, panel_kernel):
     slab, perm, piv_all, info = carry
     if tail:
         jj0 = nfull * r
-        if n - (kk + jj0) == 1:  # noqa: SIM108
+        if n - (kk + jj0) == 1:
             # `panel_rows > 1` guard (`MPF.cu:104`): 1x1 tail needs no work;
             # its pivot entry stays identity.
             pass
@@ -272,11 +269,10 @@ def mpf_factorize_traced(
         bc = min(block, n - k)
         if n - k <= 1:
             break
-        slab = a[:, k : k + bc].reshape(n, 1, bc)
+        slab = a[:, k : k + bc]
         slab, perm, piv_b, info_b = _factor_block_column(
             slab, k, r, policy, pivot, panel_kernel
         )
-        slab = slab.reshape(n, bc)
         a = a.at[:, k : k + bc].set(slab)
         ipiv = ipiv.at[k : k + bc].set(piv_b + 1)  # piv_b is global 0-based
         info = jnp.where((info == 0) & (info_b > 0), info_b, info)

@@ -280,19 +280,19 @@ def _npv_inv_kernel(block_ref, out_ref, linv_ref, uinv_ref, info_ref, *, r: int)
     jax.lax.fori_loop(0, r, bback, 0)
 
 
-def _laswp_kernel(cand_ref, src_ref, slab_in_ref, slab_ref, scratch, sems, bigsem, *, nswap: int):
+def _laswp_kernel(cand_ref, src_ref, slab_in_ref, slab_ref, scratch, sems, *, nswap: int):
+    """See laswp_apply.  ``scratch`` is an HBM staging buffer (an extra
+    kernel output) so arbitrarily wide exchanges never pressure VMEM;
+    HBM->HBM DMAs carry the rows."""
     """Row exchange via overlapped per-row DMAs (the reference's
     `LASWP_kernel`, `MPF.cu:42-59`, as a TPU DMA kernel).
 
-    OUT-OF-PLACE: one full-slab HBM->HBM DMA copies input to output at full
-    bandwidth (XLA's defensive copies around aliased custom calls in loop
-    bodies run ~5x slower), overlapped with the row gathers from the input
-    into the HBM staging buffer; the rows then scatter into the output.
-    Gather reads the INPUT, so colliding sequential swaps see pre-swap data
-    exactly like one composed row map.
+    ``slab_ref`` (aliased to the input) stays in HBM; ``nswap`` rows are
+    gathered into VMEM scratch (all DMAs in flight together), then scattered
+    back to their destinations.  Gather completes fully before any scatter,
+    so colliding sequential swaps read pre-swap data exactly like one
+    composed row map.
     """
-    bulk = pltpu.make_async_copy(slab_in_ref, slab_ref, bigsem)
-    bulk.start()
 
     nsem = 16  # rolling window of in-flight DMAs (semaphore space is small)
 
@@ -336,13 +336,12 @@ def _laswp_kernel(cand_ref, src_ref, slab_in_ref, slab_ref, scratch, sems, bigse
         jax.lax.fori_loop(max(nswap - nsem, 0), nswap, drain, 0)
 
     _run_phase(gather_dma)   # all gathers complete before any scatter
-    bulk.wait()              # bulk copy done before scattering over it
     _run_phase(scatter_dma)
 
 
-def _laswp_kernel_v(cand_ref, src_ref, slab_in_ref, slab_ref, stage_ref, sems, bigsem, *, nswap: int):
+def _laswp_kernel_v(cand_ref, src_ref, slab_in_ref, slab_ref, stage_ref, sems, *, nswap: int):
     return _laswp_kernel(
-        cand_ref, src_ref, slab_in_ref, slab_ref, stage_ref, sems, bigsem, nswap=nswap
+        cand_ref, src_ref, slab_in_ref, slab_ref, stage_ref, sems, nswap=nswap
     )
 
 
@@ -364,13 +363,13 @@ def _build_laswp(n: int, w: int, nswap: int, dtype_name: str):
             ),
             scratch_shapes=[
                 pltpu.SemaphoreType.DMA((16,)),
-                pltpu.SemaphoreType.DMA(()),  # bulk-copy semaphore
             ],
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, 1, w), dtype),
             jax.ShapeDtypeStruct((nswap, 1, w), dtype),
         ),
+        input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
 
@@ -378,19 +377,12 @@ def _build_laswp(n: int, w: int, nswap: int, dtype_name: str):
 def laswp_apply(slab: jax.Array, cand: jax.Array, src: jax.Array):
     """Apply a bounded row exchange to ``slab``: slab[cand[i], :] =
     slab_old[src[i], :].  Duplicate cand entries must carry identical
-    sources (the composed-row-map construction guarantees this).  Accepts
-    (n, w) or (n, 1, w); returns the same rank it was given."""
-    if slab.ndim == 2:
-        n, w = slab.shape
-        out, _ = _build_laswp(n, w, int(cand.shape[0]), slab.dtype.name)(
-            cand.astype(jnp.int32), src.astype(jnp.int32), slab.reshape(n, 1, w)
-        )
-        return out.reshape(n, w)
-    n, one, w = slab.shape
+    sources (the composed-row-map construction guarantees this)."""
+    n, w = slab.shape
     out, _ = _build_laswp(n, w, int(cand.shape[0]), slab.dtype.name)(
-        cand.astype(jnp.int32), src.astype(jnp.int32), slab
+        cand.astype(jnp.int32), src.astype(jnp.int32), slab.reshape(n, 1, w)
     )
-    return out
+    return out.reshape(n, w)
 
 
 def _npv_kernel(block_ref, out_ref, info_ref, *, r: int):
