@@ -35,8 +35,7 @@ def main():
     block = int(os.environ.get("BENCH_BLOCK", "1024"))
     policy = MPF_BF16
 
-    a_np = matgen.hpl_ai_matrix(n, seed=0)
-    a = jnp.asarray(a_np)
+    a = matgen.hpl_ai_matrix_device(n, seed=0)  # on-device: no slow H2D
 
     fac = mpf_tpu.make_mpf(n, r=r, policy=policy, block=block, donate=False)
     secs, res = time_fn(fac, a, warmup=1, iters=3)
@@ -57,7 +56,7 @@ def main():
     base, vs, base_n = None, None, None
     for nb in [n, 8192, 4096]:
         try:
-            ab = a if nb == n else jnp.asarray(matgen.hpl_ai_matrix(nb, seed=0))
+            ab = a if nb == n else matgen.hpl_ai_matrix_device(nb, seed=0)
             bsecs, _ = time_fn(base_fn, ab, warmup=1, iters=3)
             base = tflops(nb, bsecs)
             base_n = nb

@@ -90,6 +90,24 @@ def hpl_ai_matrix(n: int, seed: int = 0, dtype=np.float32) -> np.ndarray:
     return a
 
 
+def hpl_ai_matrix_device(n: int, seed: int = 0):
+    """Device-side HPL-AI-style matrix (same class as :func:`hpl_ai_matrix`
+    but generated with the JAX PRNG directly on the accelerator — host->device
+    transfer of an n^2 matrix runs at ~10 MB/s through this session's TPU
+    tunnel, which makes host-side generation impractical past n~16k)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(key):
+        a = jax.random.uniform(key, (n, n), jnp.float32) - 0.5
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        return jnp.where(rows == cols, a + n / 4.0, a)
+
+    return gen(jax.random.PRNGKey(seed))
+
+
 def random_conditioned(n: int, kappa: float, seed: int = 0, dtype=np.float32) -> np.ndarray:
     """Matrix with prescribed 2-norm condition number ``kappa`` via
     U * diag(logspace(0, -log10(kappa))) * V^T — for IR convergence sweeps
