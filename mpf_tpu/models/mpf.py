@@ -157,7 +157,9 @@ def _inner_panel_step(slab, perm, piv_all, info, kk, jj0, rp, policy, pivot, pan
     # resolution both happen inside the panel kernel)
     cand = jnp.concatenate([j0 + _iota(rp), piv])
     src = srcs if srcs is not None else jnp.take(pperm, cand)
-    if config.use_pallas() and bc % 128 == 0:
+    if config.use_pallas() and bc % 128 == 0 and slab.dtype == jnp.float32:
+        # (bf16 buffers pack 2 rows per sublane; the (n,1,w) DMA view is
+        # fp32-only — other dtypes use the XLA gather/scatter path)
         from mpf_tpu.ops.panel_pallas import laswp_apply
 
         slab = laswp_apply(slab, cand, src)
@@ -285,7 +287,7 @@ def mpf_factorize_traced(
         if pivot and (k > 0 or k + bc < n):
             cand = jnp.concatenate([k + _iota(bc), piv_b])  # global positions
             src = jnp.take(perm, cand)
-            if config.use_pallas() and n % 128 == 0:
+            if config.use_pallas() and n % 128 == 0 and a.dtype == jnp.float32:
                 from mpf_tpu.ops.panel_pallas import laswp_apply
 
                 a = laswp_apply(a, cand, src)
