@@ -64,19 +64,21 @@ def _auto_panel_kernel(m: int, rp: int):
     return panel_pivots_perm
 
 
-def _auto_npv_kernel(rp: int):
-    if config.use_pallas() and rp % 8 == 0:
+def _auto_npv_kernel(rp: int, dtype=jnp.float32):
+    if config.use_pallas() and rp % 8 == 0 and jnp.dtype(dtype) == jnp.float32:
         from mpf_tpu.ops.panel_pallas import getf2_npv_block
 
         return getf2_npv_block
     return getf2_npv
 
 
-def _auto_npv_inv_kernel(rp: int):
+def _auto_npv_inv_kernel(rp: int, dtype=jnp.float32):
     """No-pivot diag factorization WITH fused triangular inverses:
-    (diag) -> (lu, linv, uinv, info).  Pallas on TPU (one kernel, no XLA
-    triangular_solve in the panel loop); jnp + triangular solves elsewhere."""
-    if config.use_pallas() and rp % 8 == 0:
+    (diag) -> (lu, linv, uinv, info).  Pallas on TPU for fp32 blocks (one
+    kernel, no XLA triangular_solve in the panel loop; bf16 comparisons are
+    unsupported by Mosaic on this target); jnp + triangular solves
+    elsewhere."""
+    if config.use_pallas() and rp % 8 == 0 and jnp.dtype(dtype) == jnp.float32:
         from mpf_tpu.ops.panel_pallas import getf2_npv_inv_block
 
         return getf2_npv_inv_block
@@ -171,7 +173,7 @@ def _inner_panel_step(slab, perm, piv_all, info, kk, jj0, rp, policy, pivot, pan
     # working-precision no-pivot re-factorization of the rp x rp diag block,
     # with triangular inverses fused into the same kernel
     diag = jax.lax.dynamic_slice(slab, (j0, jj0), (rp, rp))
-    diag_lu, linv, uinv, info_k = _auto_npv_inv_kernel(rp)(diag)
+    diag_lu, linv, uinv, info_k = _auto_npv_inv_kernel(rp, diag.dtype)(diag)
     info = jnp.where((info == 0) & (info_k > 0), info_k + j0, info)
     slab = jax.lax.dynamic_update_slice(slab, diag_lu, (j0, jj0))
 

@@ -93,7 +93,7 @@ def _dist_lu_local(tile, *, n, b, gp, gq, nb, policy, pivot):
         # apply the composed swap row-map to the replicated panel
         panel = jnp.take(panel, pperm, axis=0)
         diag = jax.lax.dynamic_slice(panel, (off, 0), (b, b))
-        diag_lu, info_k = _auto_npv_kernel(b)(diag)
+        diag_lu, info_k = _auto_npv_kernel(b, diag.dtype)(diag)
         info = jnp.where((info == 0) & (info_k > 0), info_k + off, info)
         l21 = jnp.dot(
             panel, upper_inv(diag_lu), preferred_element_type=policy.accum,
