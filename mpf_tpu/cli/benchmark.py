@@ -63,7 +63,9 @@ def main(argv=None) -> int:
         return -1
     print(f"{len(matrices)} matrices from {args.file}; policy={policy.name} r={args.r}")
 
-    with open(args.csv, "a") as csv:
+    # truncate per run like the reference (`benchmark.cpp:168`) so accumulated
+    # files never carry repeated header rows
+    with open(args.csv, "w") as csv:
         csv.write("matrix_size,mpf_time,lapack_time,mpf_tflops,mpf_nbe,lapack_nbe\n")
         for a in matrices:
             n = a.shape[0]

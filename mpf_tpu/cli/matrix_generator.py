@@ -42,6 +42,10 @@ def main(argv=None) -> int:
         if mode not in ("exp", "lin"):
             print(f"Invalid function: {mode}. Use 'exp' or 'lin'.")
             return -1
+    if mode == "exp" and step < 2:
+        # size *= 1 never grows — the reference would hang here
+        print(f"Invalid step for exp: {step}. Must be >= 2.")
+        return -1
     sparsity = 0.0
     if len(argv) > 5:
         sparsity = float(argv[5])

@@ -99,11 +99,17 @@ class MPFResult(NamedTuple):
                convention; initialized to identity like `benchmark.cpp:215-217`)
     ``info`` — int32, 1-based column of the first zero pivot, 0 if clean
                (LAPACK-style; the reference has no such guard)
+    ``perm`` — (n,) int32, the COMPOSED row map of all swaps:
+               ``lu[i] = (P a)[i] = a[perm[i]]``.  Equivalent to applying the
+               ipiv swaps sequentially; kept so the solve path applies pivots
+               to a right-hand side with ONE gather instead of n sequential
+               exchanges.  May be None for legacy constructors.
     """
 
     lu: jax.Array
     ipiv: jax.Array
     info: jax.Array
+    perm: jax.Array | None = None
 
 
 def _iota(n):
@@ -268,6 +274,7 @@ def mpf_factorize_traced(
 
     ipiv = _iota(n) + 1  # identity init (`benchmark.cpp:215-217`)
     info = jnp.int32(0)
+    perm_total = _iota(n)  # composed row map: lu[i] = a_orig[perm_total[i]]
 
     for k in range(0, n, block):
         bc = min(block, n - k)
@@ -280,6 +287,10 @@ def mpf_factorize_traced(
         a = a.at[:, k : k + bc].set(slab)
         ipiv = ipiv.at[k : k + bc].set(piv_b + 1)  # piv_b is global 0-based
         info = jnp.where((info == 0) & (info_b > 0), info_b, info)
+        if pivot:
+            # compose this block's row map into the running total:
+            # A_after[i] = A_before[perm[i]] = A_orig[perm_total[perm[i]]]
+            perm_total = jnp.take(perm_total, perm)
 
         # LASWP on the rest of the matrix: one bounded row exchange over the
         # <=2bc global positions that can have moved (full LAPACK row-swap
@@ -320,7 +331,7 @@ def mpf_factorize_traced(
             a22 = (a[k + bc :, k + bc :].astype(policy.accum) - upd).astype(a.dtype)
             a = a.at[k + bc :, k + bc :].set(a22)
 
-    return MPFResult(lu=a, ipiv=ipiv, info=info)
+    return MPFResult(lu=a, ipiv=ipiv, info=info, perm=perm_total)
 
 
 @functools.partial(jax.jit, static_argnames=("r", "policy", "pivot", "block"))

@@ -39,6 +39,7 @@ def ir_solve(
     ipiv: jax.Array,
     b: jax.Array,
     sweeps: int = 3,
+    perm: jax.Array | None = None,
 ) -> IRResult:
     """Richardson iterative refinement: x_{k+1} = x_k + solve(LU, b - A x_k).
 
@@ -47,7 +48,7 @@ def ir_solve(
     """
     a32 = a.astype(jnp.float32)
     b32 = b.astype(jnp.float32)
-    x = getrs(lu, ipiv, b).astype(jnp.float32)
+    x = getrs(lu, ipiv, b, perm).astype(jnp.float32)
     norms = []
 
     def resid(x):
@@ -59,7 +60,7 @@ def ir_solve(
     best_x, best_norm = x, jnp.linalg.norm(r0)
     norms.append(best_norm)
     for _ in range(sweeps):
-        d = getrs(lu, ipiv, r0.astype(lu.dtype)).astype(jnp.float32)
+        d = getrs(lu, ipiv, r0.astype(lu.dtype), perm).astype(jnp.float32)
         x = x + d
         r0 = resid(x)
         nrm = jnp.linalg.norm(r0)
@@ -81,6 +82,7 @@ def gmres_ir_solve(
     b: jax.Array,
     restart: int = 10,
     maxiter: int = 3,
+    perm: jax.Array | None = None,
 ) -> jax.Array:
     """GMRES-IR: GMRES on A x = b, right-preconditioned by the LU solve —
     for systems too ill-conditioned for plain Richardson sweeps."""
@@ -93,7 +95,7 @@ def gmres_ir_solve(
         )
 
     def precond(v):
-        return getrs(lu, ipiv, v.astype(lu.dtype)).astype(jnp.float32)
+        return getrs(lu, ipiv, v.astype(lu.dtype), perm).astype(jnp.float32)
 
     x, _ = jax.scipy.sparse.linalg.gmres(
         mv, b32, M=precond, restart=restart, maxiter=maxiter, solve_method="batched"
@@ -117,30 +119,58 @@ def solve(
 ):
     """Convenience driver with automatic precision escalation (host-side
     control): factor under ``policy`` + Richardson IR; if IR divergence is
-    detected (kappa * eps_factors too large — the north-star failure signal),
-    retry with GMRES-IR on the same factors, and if that still stalls,
-    refactor under the reference-faithful MPF_REF policy (mixed precision
-    only in pivot selection) and GMRES-IR again.  Returns (x, info_dict)."""
-    import numpy as np
-    from mpf_tpu.precision import MPF_REF
+    detected (kappa * eps_factors too large — the north-star failure signal)
+    OR the refined solution's backward error still exceeds ``be_tol`` (a
+    stalled-but-not-growing IR is just as inaccurate), retry with GMRES-IR on
+    the same factors, and if that still stalls, refactor under the
+    reference-faithful MPF_REF policy (mixed precision only in pivot
+    selection) and GMRES-IR again.  Returns (x, info_dict).
 
-    res = mpf_factorize_traced(a, r=r, policy=policy, pivot=True)
-    ir = ir_solve(a.astype(policy.working), res.lu, res.ipiv, b, sweeps=sweeps)
+    All heavy work runs jitted on device; only scalar quality metrics are
+    fetched to the host for the escalation decisions."""
+    from mpf_tpu.precision import MPF_REF
+    from mpf_tpu.models.mpf import mpf_factorize
+
+    be_tol = 1e-6
+
+    res = mpf_factorize(a, r=r, policy=policy, pivot=True)
+    ir = ir_solve(a.astype(policy.working), res.lu, res.ipiv, b,
+                  sweeps=sweeps, perm=res.perm)
     path = "richardson"
     x = ir.x
-    if auto_escalate and bool(ir.diverged):
-        x = gmres_ir_solve(a, res.lu, res.ipiv, b, restart=20, maxiter=5)
+    be = float(_backward_error(a, x, b))
+    if auto_escalate and (bool(ir.diverged) or be > be_tol):
+        x = gmres_ir_solve(a, res.lu, res.ipiv, b, restart=20, maxiter=5,
+                           perm=res.perm)
         path = "gmres_ir"
-        a32 = np.asarray(a, dtype=np.float64)
-        resid = np.linalg.norm(a32 @ np.asarray(x, dtype=np.float64) - np.asarray(b))
-        scale = np.linalg.norm(a32) * np.linalg.norm(np.asarray(x)) + np.linalg.norm(
-            np.asarray(b)
-        )
-        if scale > 0 and resid / scale > 1e-6 and policy.name != MPF_REF.name:
-            res = mpf_factorize_traced(a, r=r, policy=MPF_REF, pivot=True)
-            x = gmres_ir_solve(a, res.lu, res.ipiv, b, restart=20, maxiter=5)
+        be = float(_backward_error(a, x, b))
+        if be > be_tol and policy.name != MPF_REF.name:
+            res = mpf_factorize(a, r=r, policy=MPF_REF, pivot=True)
+            x = gmres_ir_solve(a, res.lu, res.ipiv, b, restart=20, maxiter=5,
+                               perm=res.perm)
             path = "gmres_ir+mpf_ref_refactor"
-    return x, {"path": path, "diverged": bool(ir.diverged), "info": int(res.info)}
+            be = float(_backward_error(a, x, b))
+    return x, {
+        "path": path,
+        "diverged": bool(ir.diverged),
+        "info": int(res.info),
+        "backward_error": be,
+    }
+
+
+@jax.jit
+def _backward_error(a, x, b):
+    """Normwise solution backward error ||Ax - b|| / (||A||_F ||x|| + ||b||),
+    computed on device in fp32 (one scalar comes back to the host)."""
+    a32 = a.astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    b32 = b.astype(jnp.float32)
+    r = jnp.dot(
+        a32, x32, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) - b32
+    scale = jnp.linalg.norm(a32) * jnp.linalg.norm(x32) + jnp.linalg.norm(b32)
+    return jnp.linalg.norm(r) / jnp.where(scale > 0, scale, 1.0)
 
 
 @functools.partial(jax.jit, static_argnames=("r", "policy", "sweeps"))
@@ -154,5 +184,6 @@ def mpf_solve(
     """End-to-end mixed-precision solve: MPF factorization + IR — the
     flagship pipeline (factor fast in low precision, refine to fp32)."""
     res = mpf_factorize_traced(a, r=r, policy=policy, pivot=True)
-    ir = ir_solve(a.astype(policy.working), res.lu, res.ipiv, b, sweeps=sweeps)
+    ir = ir_solve(a.astype(policy.working), res.lu, res.ipiv, b,
+                  sweeps=sweeps, perm=res.perm)
     return SolveResult(x=ir.x, factors=res, residual_norms=ir.residual_norms)

@@ -23,10 +23,16 @@ def _as_matrix(b):
 
 
 @jax.jit
-def getrs(lu: jax.Array, ipiv: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve A x = b given the packed LU and 1-based global ipiv."""
+def getrs(
+    lu: jax.Array, ipiv: jax.Array, b: jax.Array, perm: jax.Array | None = None
+) -> jax.Array:
+    """Solve A x = b given the packed LU and 1-based global ipiv.
+
+    Pass ``perm`` (``MPFResult.perm``, the composed row map) to apply the
+    pivots with one gather; without it the map is recomposed from ipiv
+    first (O(n) scalar swaps)."""
     b, was_vec = _as_matrix(b)
-    b = apply_row_swaps_vector(b, ipiv)
+    b = apply_row_swaps_vector(b, ipiv, perm)
     y = jax.lax.linalg.triangular_solve(
         lu, b, left_side=True, lower=True, unit_diagonal=True
     )
@@ -35,9 +41,11 @@ def getrs(lu: jax.Array, ipiv: jax.Array, b: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def lu_solve(lu: jax.Array, ipiv: jax.Array, b: jax.Array) -> jax.Array:
+def lu_solve(
+    lu: jax.Array, ipiv: jax.Array, b: jax.Array, perm: jax.Array | None = None
+) -> jax.Array:
     """Alias for :func:`getrs` (scipy.linalg.lu_solve-style name)."""
-    return getrs(lu, ipiv, b)
+    return getrs(lu, ipiv, b, perm)
 
 
 @functools.partial(jax.jit, static_argnames=())

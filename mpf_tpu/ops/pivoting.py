@@ -72,17 +72,35 @@ def apply_row_swaps(a: jnp.ndarray, piv_global: jnp.ndarray, k: int, ncols: int)
     return a.at[cand + jnp.int32(k), :].set(gathered, mode="drop")
 
 
-def apply_row_swaps_vector(b: jnp.ndarray, ipiv: jnp.ndarray) -> jnp.ndarray:
-    """Apply the full factorization's swaps to a right-hand side (rows of a
-    (n,) or (n, nrhs) array) sequentially — the forward-permutation step of
-    getrs.  ``ipiv`` is 1-based global (LAPACK convention, as produced by the
-    driver and consumed by the oracle)."""
-    n = b.shape[0]
+def ipiv_to_perm(ipiv: jnp.ndarray) -> jnp.ndarray:
+    """Compose LAPACK's sequential ipiv swaps (1-based) into one row map:
+    applying the swaps to X equals ``X[perm]``.  O(n) scalar swaps on an
+    (n,) index vector — done once, after which any number of right-hand
+    sides are permuted with a single gather (the factorization driver
+    already returns this map as ``MPFResult.perm``; this is the fallback
+    when only ipiv is available)."""
+    n = ipiv.shape[0]
+    perm0 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
 
-    def body(i, b):
+    def body(i, perm):
         p = ipiv[i] - 1
-        bi = b[i]
-        bp = b[p]
-        return b.at[i].set(bp).at[p].set(bi)
+        a = perm[i]
+        c = perm[p]
+        return perm.at[i].set(c).at[p].set(a)
 
-    return jax.lax.fori_loop(0, n, body, b)
+    return jax.lax.fori_loop(0, n, body, perm0)
+
+
+def apply_row_swaps_vector(
+    b: jnp.ndarray, ipiv: jnp.ndarray, perm: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Apply the full factorization's swaps to a right-hand side (rows of a
+    (n,) or (n, nrhs) array) — the forward-permutation step of getrs.
+    ``ipiv`` is 1-based global (LAPACK convention, as produced by the driver
+    and consumed by the oracle).  When the composed row map ``perm`` is
+    available (``MPFResult.perm``) this is ONE bounded gather; otherwise the
+    map is first composed from ipiv with O(n) scalar swaps (still far
+    cheaper than n sequential row exchanges of the full RHS)."""
+    if perm is None:
+        perm = ipiv_to_perm(ipiv)
+    return jnp.take(b, perm, axis=0)

@@ -66,7 +66,7 @@ def _dist_lu_local(tile, *, n, b, gp, gq, nb, policy, pivot):
     fprec = _mm_precision(aloc)
 
     def step(k, carry):
-        aloc, ipiv, info = carry
+        aloc, ipiv, info, permc = carry
         off = k * b
         qk = k % gq
         pk = k % gp
@@ -146,21 +146,23 @@ def _dist_lu_local(tile, *, n, b, gp, gq, nb, policy, pivot):
             precision=_mm_precision(lmine.astype(policy.gemm_in)),
         )
         aloc = (aloc.astype(policy.accum) - upd).astype(aloc.dtype)
-        return aloc, ipiv, info
+        permc = jnp.take(permc, pperm)  # compose this panel's swaps
+        return aloc, ipiv, info, permc
 
     ipiv0 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] + 1
-    aloc, ipiv, info = jax.lax.fori_loop(
-        0, nb, step, (aloc, ipiv0, jnp.int32(0))
+    aloc, ipiv, info, permc = jax.lax.fori_loop(
+        0, nb, step, (aloc, ipiv0, jnp.int32(0), rows_g)
     )
-    return aloc[None, None], ipiv, info
+    return aloc[None, None], ipiv, info, permc
 
 
 def make_dist_lu(n: int, b: int, mesh, policy: PrecisionPolicy = MPF_BF16,
                  pivot: bool = True):
     """Build the jitted SPMD factorizer over ``mesh`` for (P,Q,H,W) tiles.
 
-    Returns ``fn(tiles) -> (tiles_lu, ipiv, info)`` where ``ipiv``/``info``
-    are replicated.  Use :func:`mpf_tpu.parallel.block_cyclic.shard_block_cyclic`
+    Returns ``fn(tiles) -> (tiles_lu, ipiv, info, perm)`` where
+    ``ipiv``/``info``/``perm`` are replicated (``perm`` is the composed row
+    map, see ``MPFResult.perm``).  Use :func:`mpf_tpu.parallel.block_cyclic.shard_block_cyclic`
     to lay out the input.
     """
     gp, gq = mesh.shape[ROW_AXIS], mesh.shape[COL_AXIS]
@@ -172,7 +174,7 @@ def make_dist_lu(n: int, b: int, mesh, policy: PrecisionPolicy = MPF_BF16,
         body,
         mesh=mesh,
         in_specs=(P(ROW_AXIS, COL_AXIS, None, None),),
-        out_specs=(P(ROW_AXIS, COL_AXIS, None, None), P(), P()),
+        out_specs=(P(ROW_AXIS, COL_AXIS, None, None), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -191,5 +193,7 @@ def dist_factorize(
     gp, gq = mesh.shape[ROW_AXIS], mesh.shape[COL_AXIS]
     tiles = to_block_cyclic(a.astype(policy.working), gp, gq, b)
     fn = make_dist_lu(n, b, mesh, policy, pivot)
-    tiles_lu, ipiv, info = fn(tiles)
-    return MPFResult(lu=from_block_cyclic(tiles_lu, n, b), ipiv=ipiv, info=info)
+    tiles_lu, ipiv, info, perm = fn(tiles)
+    return MPFResult(
+        lu=from_block_cyclic(tiles_lu, n, b), ipiv=ipiv, info=info, perm=perm
+    )

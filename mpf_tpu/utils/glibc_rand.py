@@ -34,10 +34,18 @@ class GlibcRand:
             seed = 1
         state = [0] * 34
         state[0] = seed
-        word = seed
+        # glibc stores the seed in int32_t and runs the Schrage step in
+        # SIGNED C arithmetic (truncated division), so seeds >= 2^31 enter
+        # the recurrence as negative values; one `word += 2147483647` fix-up
+        # brings the first iterate back into [0, 2^31) and all later
+        # iterations take the non-negative path.
+        word = seed if seed < 0x80000000 else seed - 0x100000000
         for i in range(1, 31):
-            # word = (16807 * word) % 2147483647, Schrage-style without overflow
-            hi, lo = divmod(word, 127773)
+            # word = (16807 * word) % 2147483647, Schrage-style without
+            # overflow; hi/lo use C truncated division (round toward zero)
+            q, rm = divmod(abs(word), 127773)
+            hi = q if word >= 0 else -q
+            lo = rm if word >= 0 else -rm
             word = 16807 * lo - 2836 * hi
             if word < 0:
                 word += 2147483647

@@ -31,6 +31,11 @@ def corpus_sizes(max_size: int, step: int = 2, mode: str = "exp") -> List[int]:
     """The reference's size schedule (`matrix_generator.cpp:55-78`)."""
     if mode not in ("exp", "lin"):
         raise ValueError(f"mode must be 'exp' or 'lin', got {mode!r}")
+    if step <= 0 or (mode == "exp" and step < 2):
+        # step=1 with 'exp' would loop forever (size *= 1 never grows); the
+        # reference shares this flaw (`matrix_generator.cpp:55,74-78`) — we
+        # reject it instead.
+        raise ValueError(f"step must be >= 2 for mode='exp' (got {step})")
     sizes = []
     size = 2
     while size <= max_size:

@@ -67,6 +67,11 @@ bool parse(int argc, char **argv, Options *o) {
       return false;
     }
   }
+  if (o->exponential && o->step < 2) {
+    // size *= 1 never grows — the reference would hang here
+    std::fprintf(stderr, "Invalid step for exp: %ld. Must be >= 2.\n", o->step);
+    return false;
+  }
   if (argc > 5) {
     o->sparsity = std::strtod(argv[5], nullptr);
     if (o->sparsity < 0.0 || o->sparsity >= 1.0) {

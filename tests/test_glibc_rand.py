@@ -20,12 +20,17 @@ def _libc():
         return None
 
 
-@pytest.mark.parametrize("seed", [1, 2, 42, 123456789])
+@pytest.mark.parametrize(
+    "seed",
+    # includes seeds >= 2^31: glibc stores the seed in int32 and runs the
+    # Schrage step in signed arithmetic — parity must hold there too
+    [1, 2, 42, 123456789, 2**31 - 1, 2**31, 2**31 + 12345, 0xFFFFFFFF],
+)
 def test_matches_libc(seed):
     libc = _libc()
     if libc is None:
         pytest.skip("libc not loadable")
-    libc.srand(seed)
+    libc.srand(ctypes.c_uint(seed))
     ours = GlibcRand(seed)
     got = [ours.rand() for _ in range(2000)]
     want = [libc.rand() for _ in range(2000)]

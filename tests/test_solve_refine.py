@@ -70,3 +70,25 @@ def test_ill_conditioned_kappa1e6():
                            restart=20, maxiter=5)
     be = solve_residual(a, np.asarray(x_ref), b)
     assert be < 1e-7, f"MPF_REF GMRES-IR backward error {be:.2e}"
+
+
+def test_composed_perm_matches_ipiv():
+    """MPFResult.perm is the composed row map of the sequential ipiv swaps,
+    and getrs(perm=...) (one gather) equals getrs via ipiv recomposition."""
+    from mpf_tpu.ops.pivoting import ipiv_to_perm
+    from mpf_tpu.models.solve import getrs
+
+    n = 96
+    a = matgen.random_dense(n, seed=7)
+    rng = np.random.default_rng(8)
+    b = rng.random(n).astype(np.float32)
+
+    res = mpf_factorize(jnp.asarray(a), r=16, policy=MPF_BF16, block=32)
+    assert res.perm is not None
+    np.testing.assert_array_equal(
+        np.asarray(res.perm), np.asarray(ipiv_to_perm(res.ipiv))
+    )
+    x_perm = getrs(res.lu, res.ipiv, jnp.asarray(b), res.perm)
+    x_ipiv = getrs(res.lu, res.ipiv, jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(x_perm), np.asarray(x_ipiv), rtol=0, atol=0)
+    assert solve_residual(a, np.asarray(x_perm), b) < 5e-3  # direct solve, bf16 GEMMs
