@@ -212,6 +212,92 @@ def _inner_panel_step(slab, perm, piv_all, info, kk, jj0, rp, policy, pivot, pan
     return slab, perm, piv_all, info
 
 
+_PAD_QUANTUM = 4096  # row padding quantum for fused-path kernel instances
+_FUSED_RB = 512      # streaming-update row-block height
+
+
+def _fused_ok(n: int, k: int, bc: int, r: int, policy, pivot, panel_kernel) -> bool:
+    """Gate for the fused virtual-pivoting block-column path (round 2)."""
+    if not (pivot and panel_kernel is None and config.use_pallas()):
+        return False
+    if policy.saturate_panel or jnp.dtype(policy.panel) not in (
+        jnp.bfloat16, jnp.float32
+    ):
+        return False
+    if jnp.dtype(policy.working) not in (jnp.bfloat16, jnp.float32):
+        return False
+    if n % 128 or bc % r or r % 8 or r < 8:
+        return False
+    # compiled Mosaic requires lane-aligned (128) panel-width intermediates;
+    # CPU interpret mode (tests) has no such constraint
+    if r % 128 and jax.default_backend() == "tpu":
+        return False
+    m = min(n, -((k - n) // _PAD_QUANTUM) * _PAD_QUANTUM)
+    if m % min(_FUSED_RB, m):
+        return False
+    # transposed panel must fit VMEM next to the strip buffers
+    if r * m * jnp.dtype(policy.panel).itemsize > (12 << 20):
+        return False
+    return True
+
+
+def _factor_block_column_fused(slab, diag0, r, policy):
+    """Virtual-pivoting factorization of the (m, bc) slab (rows are a tail
+    window of the matrix; ``diag0`` = slab-local row of the block column's
+    first diagonal).  Rows NEVER move during the inner loop — the strip
+    pivot kernel carries ``pos``/``perm`` maps, the streaming update kernel
+    masks on positions, and the finished pivot-row values accumulate in a
+    side buffer ``u_all``.  One bounded physical row exchange per block
+    column happens in the caller (vs one per panel in round 1, and a host
+    pivot round-trip + LASWP launch per panel in the reference,
+    `MPF.cu:145-162`).
+
+    Returns (slab', perm (m,), piv (bc,) local positions, u_all (bc, bc),
+    info local)."""
+    from mpf_tpu.ops.panel_strip import strip_panel_pivots
+    from mpf_tpu.ops.panel_fused import rowblock_assemble, panel_apply_update
+
+    m, bc = slab.shape
+    gemm_bf16 = (
+        jnp.dtype(policy.gemm_in) == jnp.bfloat16
+        and jnp.dtype(policy.working) != jnp.bfloat16
+    )
+    rb = min(_FUSED_RB, m)
+
+    def body(t, carry):
+        slab, pos, perm, piv_all, u_all, info = carry
+        jj0 = t * r
+        j0 = diag0 + jj0
+        panel = jax.lax.dynamic_slice(slab, (0, jj0), (m, r))
+        piv, pos, perm, glist = strip_panel_pivots(
+            panel, j0, pos, perm, panel_dtype=policy.panel
+        )
+        rowblock, uinv, info_k = rowblock_assemble(slab, glist, jj0)
+        info = jnp.where((info == 0) & (info_k > 0), info_k + jj0, info)
+        slab = panel_apply_update(
+            slab, pos, rowblock, uinv, j0, jj0, rb=rb, gemm_bf16=gemm_bf16
+        )
+        u_all = jax.lax.dynamic_update_slice(u_all, rowblock, (jj0, 0))
+        piv_all = jax.lax.dynamic_update_slice(piv_all, piv, (jj0,))
+        return slab, pos, perm, piv_all, u_all, info
+
+    carry = (
+        slab,
+        _iota(m),
+        _iota(m),
+        diag0 + _iota(bc),
+        jnp.zeros((bc, bc), slab.dtype),
+        jnp.int32(0),
+    )
+    nt = bc // r
+    if nt == 1:
+        carry = body(0, carry)
+    else:
+        carry = jax.lax.fori_loop(0, nt, body, carry)
+    slab, _, perm, piv_all, u_all, info = carry
+    return slab, perm, piv_all, u_all, info
+
+
 def _factor_block_column(slab, kk, r, policy, pivot, panel_kernel):
     """Partial-pivoted factorization of the (n, bc) block-column slab whose
     diagonal starts at global offset ``kk`` (static).
@@ -280,49 +366,76 @@ def mpf_factorize_traced(
         bc = min(block, n - k)
         if n - k <= 1:
             break
-        slab = a[:, k : k + bc]
-        slab, perm, piv_b, info_b = _factor_block_column(
-            slab, k, r, policy, pivot, panel_kernel
-        )
-        a = a.at[:, k : k + bc].set(slab)
-        ipiv = ipiv.at[k : k + bc].set(piv_b + 1)  # piv_b is global 0-based
-        info = jnp.where((info == 0) & (info_b > 0), info_b, info)
-        if pivot:
-            # compose this block's row map into the running total:
-            # A_after[i] = A_before[perm[i]] = A_orig[perm_total[perm[i]]]
-            perm_total = jnp.take(perm_total, perm)
+        if _fused_ok(n, k, bc, r, policy, pivot, panel_kernel):
+            # ---- round-2 fused path: virtual pivoting within the block
+            # column, ONE bounded physical exchange per block column --------
+            m = min(n, -((k - n) // _PAD_QUANTUM) * _PAD_QUANTUM)
+            k0 = n - m  # rows above k0 can neither pivot nor update
+            sub = a[k0:, k : k + bc]
+            sub, perm_l, piv_l, u_all, info_b = _factor_block_column_fused(
+                sub, k - k0, r, policy
+            )
+            a = a.at[k0:, k : k + bc].set(sub)
+            ipiv = ipiv.at[k : k + bc].set(k0 + piv_l + 1)
+            info = jnp.where((info == 0) & (info_b > 0), info_b + k, info)
+            # bounded physical row exchange over the <=2bc positions that can
+            # have moved, full matrix width (LAPACK LASWP semantics,
+            # `MPF.cu:42-59`, composed into one row map)
+            cand = jnp.concatenate([(k - k0) + _iota(bc), piv_l])
+            src = jnp.take(perm_l, cand)
+            tail = a[k0:, :]
+            a = a.at[k0 + cand, :].set(jnp.take(tail, src, axis=0))
+            # the finished diagonal/U12 rows of the block column
+            a = jax.lax.dynamic_update_slice(a, u_all, (k, k))
+            perm_total = perm_total.at[k0:].set(
+                jnp.take(perm_total, k0 + perm_l)
+            )
+            lu11 = u_all
+        else:
+            slab = a[:, k : k + bc]
+            slab, perm, piv_b, info_b = _factor_block_column(
+                slab, k, r, policy, pivot, panel_kernel
+            )
+            a = a.at[:, k : k + bc].set(slab)
+            ipiv = ipiv.at[k : k + bc].set(piv_b + 1)  # piv_b is global 0-based
+            info = jnp.where((info == 0) & (info_b > 0), info_b, info)
+            if pivot:
+                # compose this block's row map into the running total:
+                # A_after[i] = A_before[perm[i]] = A_orig[perm_total[perm[i]]]
+                perm_total = jnp.take(perm_total, perm)
 
-        # LASWP on the rest of the matrix: one bounded row exchange over the
-        # <=2bc global positions that can have moved (full LAPACK row-swap
-        # semantics, `MPF.cu:42-59`, including already-factored L columns).
-        # The full-width exchange double-swaps the block column; the factored
-        # slab write below overwrites it with the correct values.
-        if pivot and (k > 0 or k + bc < n):
-            cand = jnp.concatenate([k + _iota(bc), piv_b])  # global positions
-            src = jnp.take(perm, cand)
-            if config.use_pallas() and n % 128 == 0 and a.dtype == jnp.float32:
-                from mpf_tpu.ops.panel_pallas import laswp_apply
+            # LASWP on the rest of the matrix: one bounded row exchange over
+            # the <=2bc global positions that can have moved (full LAPACK
+            # row-swap semantics, `MPF.cu:42-59`, including already-factored
+            # L columns).  The full-width exchange double-swaps the block
+            # column; the factored slab write below overwrites it.
+            if pivot and (k > 0 or k + bc < n):
+                cand = jnp.concatenate([k + _iota(bc), piv_b])
+                src = jnp.take(perm, cand)
+                if config.use_pallas() and n % 128 == 0 and a.dtype == jnp.float32:
+                    from mpf_tpu.ops.panel_pallas import laswp_apply
 
-                a = laswp_apply(a, cand, src)
-                a = a.at[:, k : k + bc].set(slab)
-            else:
-                if k > 0:
-                    left = a[:, :k]
-                    a = a.at[cand, :k].set(jnp.take(left, src, axis=0))
-                if k + bc < n:
-                    right = a[:, k + bc :]
-                    a = a.at[cand, k + bc :].set(jnp.take(right, src, axis=0))
+                    a = laswp_apply(a, cand, src)
+                    a = a.at[:, k : k + bc].set(slab)
+                else:
+                    if k > 0:
+                        left = a[:, :k]
+                        a = a.at[cand, :k].set(jnp.take(left, src, axis=0))
+                    if k + bc < n:
+                        right = a[:, k + bc :]
+                        a = a.at[cand, k + bc :].set(jnp.take(right, src, axis=0))
+            lu11 = slab[k : k + bc, :]
 
         if k + bc < n:
             # U12 block: L11^{-1} A12 via log-depth blocked triangular inverse
-            linv = unit_lower_inv_blocked(slab[k : k + bc, :], base=min(r, 128))
+            linv = unit_lower_inv_blocked(lu11, base=min(r, 128))
             a12 = a[k : k + bc, k + bc :]
             u12 = jnp.dot(
                 linv, a12, preferred_element_type=policy.accum, precision=fprec
             ).astype(a.dtype)
             a = a.at[k : k + bc, k + bc :].set(u12)
             # trailing update at true (static) sizes — the O(n^3) hot GEMM
-            l21 = slab[k + bc :, :].astype(policy.gemm_in)
+            l21 = a[k + bc :, k : k + bc].astype(policy.gemm_in)
             u12c = u12.astype(policy.gemm_in)
             upd = jnp.dot(
                 l21, u12c, preferred_element_type=policy.accum,

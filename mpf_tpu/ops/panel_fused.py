@@ -1,0 +1,308 @@
+"""Fused panel-step kernels (round 2): pivot-row assembly + streaming update.
+
+Together with the strip-blocked pivot kernel (`ops/panel_strip.py`) these
+implement one r-wide panel step of the blocked factorization as THREE
+Pallas calls and no other slab-touching XLA ops — replacing the round-1
+sequence (XLA dynamic slices, aliased LASWP custom call with its defensive
+copies, masked where-passes, separate TRSM/GEMM dispatches) that cost
+~2.4 ms/panel at n=16384:
+
+  * :func:`rowblock_assemble` (kernel A2) — DMA-gathers the r virtual
+    pivot rows of the slab (granule-aligned reads; row indices arrive as
+    scalar prefetch from the pivot kernel), re-factors the diagonal block
+    without pivoting in fp32 (`dgetf2_native_npv.cu:11-36` semantics plus
+    the zero-pivot ``info`` guard the reference lacks), fuses the
+    triangular inverses, and emits the finished (r, bc) row block
+    [L-part | diag LU | U12 = L11^{-1} A12] plus U11^{-1} for the L21
+    GEMM.  All column selection/placement is done with one-hot MXU
+    products — no dynamic lane indexing.
+  * :func:`panel_apply_update` (kernel B) — streams the (m, bc) slab once
+    (grid over row blocks, output aliased to the input: in-place, no XLA
+    copies): per block computes L21 = A[:, panel] U11^{-1} and the
+    rank-r trailing subtract A -= L21 U12, masked by the carried virtual
+    row positions (rows at positions < j0+r are frozen).  This fuses the
+    reference's LASWP + cublasDtrsm + cublasDgemm slab work
+    (`MPF.cu:162,215-239`) into a single HBM pass.
+
+Virtual pivoting contract (see `models/mpf.py`): within a block column no
+row ever moves; ``pos``/``perm`` carry the row maps and one bounded
+physical exchange runs per block column, not per panel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _granule(dtype) -> int:
+    """Sublane granule for dynamic row slices of a 2D-tiled buffer."""
+    return 16 if jnp.dtype(dtype).itemsize == 2 else 8
+
+
+# --------------------------------------------------------------------------
+# Kernel A2: gather pivot rows, re-factor diagonal, build the row block
+# --------------------------------------------------------------------------
+
+def _npv_inv_values(diag, r):
+    """No-pivot LU of an (r, r) fp32 block with fused L^{-1}/U^{-1}, on
+    values (in-kernel).  Same math as `panel_pallas._npv_inv_kernel`."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
+    eye = (rows == cols).astype(jnp.float32)
+
+    def body(j, carry):
+        b, li, info = carry
+        colv = jnp.sum(jnp.where(cols == j, b, 0.0), axis=1, keepdims=True)
+        pivval = jnp.sum(jnp.where(rows == j, colv, 0.0), axis=0, keepdims=True)
+        info = jnp.where((pivval == 0) & (info == 0), j + 1, info)
+        safe = jnp.where(pivval == 0, jnp.ones_like(pivval), pivval)
+        mult = jnp.where(rows > j, colv / safe, 0.0)
+        urow = jnp.sum(jnp.where(rows == j, b, 0.0), axis=0, keepdims=True)
+        urow_m = jnp.where(cols > j, urow, 0.0)
+        b = jnp.where((cols == j) & (rows > j), mult, b - mult * urow_m)
+        lrow = jnp.sum(jnp.where(rows == j, li, 0.0), axis=0, keepdims=True)
+        li = li - mult * lrow
+        return b, li, info
+
+    lu, linv, info = jax.lax.fori_loop(
+        0, r, body, (diag, eye, jnp.zeros((1, 1), jnp.int32))
+    )
+
+    # backward substitution for U^{-1}
+    def bback(t, y):
+        i = r - 1 - t
+        urow = jnp.sum(jnp.where(rows == i, lu, 0.0), axis=0, keepdims=True)
+        uii = jnp.sum(jnp.where(cols == i, urow, 0.0), axis=1, keepdims=True)
+        safe = jnp.where(uii == 0, jnp.ones_like(uii), uii)
+        urow_m = jnp.where(cols > i, urow, 0.0)
+        acc = jnp.dot(urow_m, y, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        ei = (cols == i).astype(jnp.float32)
+        return jnp.where(rows == i, (ei - acc) / safe, y)
+
+    uinv = jax.lax.fori_loop(0, r, bback, jnp.zeros((r, r), jnp.float32))
+    return lu, linv, uinv, info
+
+
+def _rowblock_kernel(
+    glist_ref, meta_ref, slab_ref,
+    rowblock_ref, uinv_ref, info_ref,
+    staged_ref, gbuf_ref, sems,
+    *, r: int, bc: int, g: int,
+):
+    f32 = jnp.float32
+    w = staged_ref.dtype
+    jj0 = meta_ref[0]
+    hi = jax.lax.Precision.HIGHEST if w == f32 else None
+
+    # ---- gather the r pivot rows (granule-aligned DMAs, 8-row batches) ----
+    grows = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+    for j0b in range(0, r, 8):
+        for jb in range(8):
+            row = glist_ref[j0b + jb]
+            gs = pl.multiple_of((row // g) * g, g)
+            pltpu.make_async_copy(
+                slab_ref.at[pl.ds(gs, g), :], gbuf_ref.at[jb], sems.at[jb]
+            ).start()
+        for jb in range(8):
+            row = glist_ref[j0b + jb]
+            pltpu.make_async_copy(
+                slab_ref.at[pl.ds(pl.multiple_of((row // g) * g, g), g), :],
+                gbuf_ref.at[jb], sems.at[jb],
+            ).wait()
+            rowv = jnp.sum(
+                jnp.where(grows == row % g, gbuf_ref[jb].astype(f32), 0.0),
+                axis=0, keepdims=True,
+            )  # (1, bc) — the selected row
+            staged_ref[pl.ds(j0b + jb, 1), :] = rowv.astype(w)
+
+    staged = staged_ref[:]                                   # (r, bc)
+    lanebc = jax.lax.broadcasted_iota(jnp.int32, (1, bc), 1)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    bcr = jax.lax.broadcasted_iota(jnp.int32, (bc, 1), 0)
+    rc = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
+
+    # ---- diagonal block extraction + no-pivot refactor (fp32) -------------
+    e2 = (lanebc == jj0 + rr).astype(w)                      # (r, bc) one-hot
+    e2t = (bcr == jj0 + rc).astype(w)                        # (bc, r) one-hot
+    diag = jnp.dot(staged, e2t, preferred_element_type=f32, precision=hi)
+    lu, linv, uinv, info = _npv_inv_values(diag, r)
+    info_ref[0, 0] = info[0, 0]
+    uinv_ref[:] = uinv.astype(w)
+
+    # ---- row block: [staged L-part | diag LU | U12 = L11^{-1} A12] --------
+    # U12 at working precision (the reference's cublasDtrsm is full working
+    # precision, `MPF.cu:215-225`; only the TRAILING GEMM operands follow
+    # policy.gemm_in)
+    u12 = jnp.dot(linv.astype(w) if w != f32 else linv, staged,
+                  preferred_element_type=f32, precision=hi)
+    placed = jnp.dot(lu.astype(w), e2, preferred_element_type=f32,
+                     precision=hi)                            # diag at panel lanes
+    in_panel = (lanebc >= jj0) & (lanebc < jj0 + r)
+    left = lanebc < jj0
+    rowblock_ref[:] = jnp.where(
+        in_panel, placed.astype(w), jnp.where(left, staged, u12.astype(w))
+    )
+
+
+@functools.lru_cache(maxsize=128)
+def _build_rowblock(m: int, bc: int, r: int, dtype_name: str,
+                    interpret: bool = False):
+    w = jnp.dtype(dtype_name)
+    g = _granule(w)
+    kernel = functools.partial(_rowblock_kernel, r=r, bc=bc, g=g)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # glist (r,), meta (1,) = [jj0]
+            grid=(),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # slab (m, bc)
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # rowblock (r, bc)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # uinv (r, r)
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # info (1, 1)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((r, bc), w),                  # staged pivot rows
+                pltpu.VMEM((8, g, bc), w),               # granule ring
+                pltpu.SemaphoreType.DMA((8,)),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, bc), w),
+            jax.ShapeDtypeStruct((r, r), w),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int((r + 8 * g) * bc * w.itemsize + (48 << 20)),
+        ),
+        interpret=interpret,
+    )
+
+
+def rowblock_assemble(slab, glist, jj0, interpret=False):
+    """Gather the r pivot rows ``glist`` of ``slab`` (m, bc), re-factor the
+    (r, r) diagonal block at lane offset ``jj0`` without pivoting, and
+    return ``(rowblock, uinv, info)``:
+
+    * ``rowblock`` (r, bc) — the FINAL values of slab positions
+      j0..j0+r: columns < jj0 carry the gathered L values, the panel
+      columns carry the diagonal LU, columns > jj0+r carry
+      U12 = L11^{-1} A12 (the reference's cublasDtrsm, `MPF.cu:215-225`).
+    * ``uinv`` (r, r) — U11^{-1} for the L21 GEMM.
+    * ``info`` — 1-based first zero pivot, 0 if clean.
+    """
+    m, bc = slab.shape
+    r = glist.shape[0]
+    rb, uinv, info = _build_rowblock(m, bc, r, slab.dtype.name, interpret)(
+        glist.astype(jnp.int32), jnp.asarray(jj0, jnp.int32).reshape(1), slab
+    )
+    return rb, uinv, info[0, 0]
+
+
+# --------------------------------------------------------------------------
+# Kernel B: streaming masked L21 + trailing update (in place)
+# --------------------------------------------------------------------------
+
+def _apply_update_kernel(
+    meta_ref, slab_ref, pos_ref, rowblock_ref, uinv_ref, out_ref,
+    *, r: int, bc: int, rb: int, gemm_bf16: bool,
+):
+    f32 = jnp.float32
+    w = slab_ref.dtype
+    j0 = meta_ref[0]
+    jj0 = meta_ref[1]
+    hi = jax.lax.Precision.HIGHEST if w == f32 else None
+
+    b = slab_ref[:]                                         # (RB, bc)
+    posT = jnp.swapaxes(pos_ref[:], 0, 1)                   # (RB, 1) int32
+    lanebc = jax.lax.broadcasted_iota(jnp.int32, (1, bc), 1)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    bcr = jax.lax.broadcasted_iota(jnp.int32, (bc, 1), 0)
+    rc = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
+    e2 = (lanebc == jj0 + rr).astype(w)                     # (r, bc)
+    e2t = (bcr == jj0 + rc).astype(w)                       # (bc, r)
+    # full-shape int broadcasts BEFORE comparing: lane-replicated i1 vectors
+    # hit Mosaic relayout limits on this target
+    below_r = jnp.broadcast_to(posT, (rb, r)) >= j0 + r
+    below_bc = jnp.broadcast_to(posT, (rb, bc)) >= j0 + r
+
+    p = jnp.dot(b, e2t, preferred_element_type=f32, precision=hi)  # (RB, r)
+    l21 = jnp.dot(p.astype(w) if w != f32 else p, uinv_ref[:],
+                  preferred_element_type=f32, precision=hi)
+    l21 = jnp.where(below_r, l21, 0.0).astype(w)
+    placed = jnp.dot(l21, e2, preferred_element_type=f32, precision=hi)
+    u12m = jnp.where(lanebc >= jj0 + r, rowblock_ref[:], jnp.zeros((), w))
+    if gemm_bf16 and w != jnp.bfloat16:
+        upd = jnp.dot(l21.astype(jnp.bfloat16), u12m.astype(jnp.bfloat16),
+                      preferred_element_type=f32)
+    else:
+        upd = jnp.dot(l21, u12m, preferred_element_type=f32, precision=hi)
+
+    in_panel = (lanebc >= jj0) & (lanebc < jj0 + r)
+    new = jnp.where(in_panel, placed.astype(w),
+                    (b.astype(f32) - upd).astype(w))
+    out_ref[:] = jnp.where(below_bc, new, b)
+
+
+@functools.lru_cache(maxsize=128)
+def _build_apply_update(m: int, bc: int, r: int, rb: int, dtype_name: str,
+                        gemm_bf16: bool, interpret: bool = False):
+    w = jnp.dtype(dtype_name)
+    assert m % rb == 0, (m, rb)
+    kernel = functools.partial(
+        _apply_update_kernel, r=r, bc=bc, rb=rb, gemm_bf16=gemm_bf16
+    )
+    nblk = m // rb
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # meta (2,) = [j0, jj0]
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((rb, bc), lambda i, meta: (i, 0),
+                             memory_space=pltpu.VMEM),       # slab block
+                pl.BlockSpec((1, rb), lambda i, meta: (0, i),
+                             memory_space=pltpu.VMEM),       # pos block
+                pl.BlockSpec((r, bc), lambda i, meta: (0, 0),
+                             memory_space=pltpu.VMEM),       # rowblock
+                pl.BlockSpec((r, r), lambda i, meta: (0, 0),
+                             memory_space=pltpu.VMEM),       # uinv
+            ],
+            out_specs=pl.BlockSpec((rb, bc), lambda i, meta: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, bc), w),
+        input_output_aliases={1: 0},  # slab (after 1 scalar-prefetch arg)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                (3 * rb + 2 * r) * bc * max(w.itemsize, 4) + (32 << 20)
+            ),
+        ),
+        interpret=interpret,
+    )
+
+
+def panel_apply_update(slab, pos, rowblock, uinv, j0, jj0, rb=512,
+                       gemm_bf16=False, interpret=False):
+    """One in-place streaming pass over the (m, bc) slab: for every row at
+    virtual position >= j0+r compute L21 = A[:, panel] U11^{-1}, write it
+    into the panel columns, and subtract the rank-r update L21 @ U12 from
+    the columns right of the panel.  Rows at positions < j0+r (already
+    factored, or this panel's pivot rows whose finished values live in
+    ``rowblock``) pass through untouched.
+
+    Fuses the reference's per-panel LASWP + TRSM + GEMM slab traffic
+    (`MPF.cu:162,215-239`) into one read+write of the slab.
+    """
+    m, bc = slab.shape
+    r = rowblock.shape[0]
+    meta = jnp.stack([jnp.asarray(j0, jnp.int32), jnp.asarray(jj0, jnp.int32)])
+    fn = _build_apply_update(m, bc, r, rb, slab.dtype.name, bool(gemm_bf16),
+                             interpret)
+    return fn(meta, slab, pos.reshape(1, m), rowblock, uinv)

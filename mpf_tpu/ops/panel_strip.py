@@ -1,0 +1,245 @@
+"""Strip-blocked pre-pivoting panel LU (Pallas TPU kernel, round 2).
+
+TPU-native redesign of the reference's cooperative panel kernel
+(`HGETF2_kernel`, `hgetf2_kernel.cu:15-120`), superseding the round-1
+rank-1-per-column kernel (`panel_pallas._hgetf2t_kernel`).  The reference
+(and the round-1 kernel) pay O(r) full-panel vector passes; here the
+per-column VPU work is confined to an 8-row *strip* of the transposed
+panel, and the updates to future strips are deferred into rank-8 MXU GEMMs
+with an in-strip triangular correction — the standard blocked-LU trick,
+restructured for the (r, m) lane-major layout:
+
+  * the panel is held transposed, (r, m) in VMEM, panel dtype (bf16 for
+    the MPF policies): panel columns are lane-major rows, so every
+    per-column op runs at full 128-lane VPU width;
+  * **virtual pivoting**: rows are never moved; the kernel carries
+    ``pos`` (original row -> current position) and ``perm`` (position ->
+    original row) and swaps two entries per column.  Pivot search masks on
+    ``pos >= d``; ties resolve to the lowest current position, matching
+    the reference's strict-``>`` scan (`hgetf2_kernel.cu:68-82`);
+  * the active 8-column strip is carried in **fp32** (better pivot
+    decisions than the reference's fp16 arithmetic) together with the
+    strip's multiplier rows M (8, m).  After the strip, every future strip
+    row k is updated in one pass: the strip's U entries for row k satisfy
+    U_k (I + N) = T_k[o_0..o_7] with N[j',j] = M[j', o_j] (strictly upper,
+    8x8), so  T_k -= (T_k S) (I+N)^{-1} M  — two small MXU GEMMs per
+    8-row chunk, where S is the one-hot pivot-lane selector (MXU gathers
+    replace the per-lane extractions that dominated the round-1 kernel);
+  * multipliers/factors are **discarded** (reference semantics: only
+    `ipiv_panel` is read back, `MPF.cu:145`); only pivots and the updated
+    position maps escape.
+
+The kernel is the first stage of the fused panel pipeline (see
+`mpf_tpu/ops/panel_fused.py` and `models/mpf.py`): it also emits
+``glist[j] = perm[j0 + j]`` — the original rows that virtually landed on
+the diagonal — which the second stage uses to DMA-gather the pivot rows.
+
+Constraints: ``r % 8 == 0``, ``m % 128 == 0``, panel dtype bf16 or fp32
+(fp32 in-kernel compute either way; Mosaic has no bf16 compares here).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_W = 8          # strip width (sublane granule of the fp32 transposed panel)
+_CHUNK = 1024   # rows per transpose-load DMA chunk
+
+
+def _strip_pivot_kernel(
+    off_ref, panel_ref, pos_in_ref, perm_in_ref,
+    piv_ref, pos_ref, perm_ref, glist_ref,
+    t_ref, chunk_ref, sem,
+    *, r: int, m: int, nchunk: int, ch: int,
+):
+    dt = t_ref.dtype
+    f32 = jnp.float32
+
+    # ---- load + cast + transpose the (m, r) panel into T (r, m), chunked
+    # (double-buffered DMAs; the panel stays in HBM — at n=32768 the natural
+    # panel no longer fits VMEM alongside T) --------------------------------
+    def chunk_dma(slot, c):
+        return pltpu.make_async_copy(
+            panel_ref.at[pl.ds(c * ch, ch), :],
+            chunk_ref.at[slot],
+            sem.at[slot],
+        )
+
+    chunk_dma(0, 0).start()
+    for c in range(nchunk):
+        if c + 1 < nchunk:
+            chunk_dma((c + 1) % 2, c + 1).start()
+        chunk_dma(c % 2, c).wait()
+        t_ref[:, c * ch : (c + 1) * ch] = jnp.swapaxes(
+            chunk_ref[c % 2].astype(dt), 0, 1
+        )
+
+    off = off_ref[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)   # original row ids
+    pivlanes = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
+    wlanes = jax.lax.broadcasted_iota(jnp.int32, (1, _W), 1)
+    wrows = jax.lax.broadcasted_iota(jnp.int32, (_W, 1), 0)
+    mrows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+
+    pos = pos_in_ref[:]
+    perm = perm_in_ref[:]
+    piv = pivlanes + off
+    nstrips = r // _W
+
+    for s in range(nstrips):          # strips unrolled (static shapes)
+        s0 = s * _W
+        st = t_ref[pl.ds(s0, _W), :].astype(f32)     # active strip, fp32
+        mbuf = jnp.zeros((_W, m), f32)               # multiplier rows
+        olist = jnp.zeros((1, _W), jnp.int32)        # pivot lanes o_j
+
+        def col_body(jc, carry, s0=s0):
+            st, mbuf, olist, pos, perm, piv = carry
+            d = off + s0 + jc
+            # current column values: one (W, m) masked reduce
+            colv = jnp.sum(
+                jnp.where(wrows == jc, st, 0.0), axis=0, keepdims=True
+            )  # (1, m)
+            # pivot search over rows not yet chosen (lowest position wins)
+            cabs = jnp.where(pos >= d, jnp.abs(colv), f32(-1.0))
+            mx = jnp.max(cabs, axis=1, keepdims=True)              # (1, 1)
+            cp = jnp.min(
+                jnp.where((cabs == mx) & (pos >= d), pos, m),
+                axis=1, keepdims=True,
+            )  # (1, 1) current position of the winner
+            o = jnp.sum(jnp.where(pos == cp, lanes, 0), axis=1, keepdims=True)
+            o2 = jnp.sum(jnp.where(pos == d, lanes, 0), axis=1, keepdims=True)
+            pos = jnp.where(lanes == o, d, jnp.where(lanes == o2, cp, pos))
+            perm = jnp.where(lanes == d, o, jnp.where(lanes == cp, o2, perm))
+            piv = jnp.where(pivlanes == s0 + jc, cp, piv)
+            olist = jnp.where(wlanes == jc, o, olist)
+            # multipliers (fp32; masked to rows still below the diagonal)
+            pivval = jnp.sum(jnp.where(lanes == o, colv, 0.0), axis=1, keepdims=True)
+            safe = jnp.where(pivval == 0, f32(1), pivval)
+            mult = jnp.where(pos > d, colv / safe, 0.0)            # (1, m)
+            mbuf = jnp.where(wrows == jc, mult, mbuf)
+            # in-strip elimination: rows jc+1.. of the strip only
+            ucol = jnp.sum(jnp.where(lanes == o, st, 0.0), axis=1, keepdims=True)
+            ucol = jnp.where(wrows > jc, ucol, 0.0)                # (W, 1)
+            st = st - ucol * mult
+            return st, mbuf, olist, pos, perm, piv
+
+        st, mbuf, olist, pos, perm, piv = jax.lax.fori_loop(
+            0, _W, col_body, (st, mbuf, olist, pos, perm, piv)
+        )
+        t_ref[pl.ds(s0, _W), :] = st.astype(dt)
+
+        if s + 1 < nstrips:
+            # ---- deferred rank-W update of all future strips (MXU) --------
+            mq = mbuf.astype(dt)
+            sel = (mrows == olist).astype(dt)                      # (m, W) one-hot
+            hi = jax.lax.Precision.HIGHEST if dt == f32 else None
+            # N[j', j] = M[j', o_j]; strictly upper by construction (mult of
+            # column j' is zero at pivot lanes o_j, j <= j')
+            nmat = jnp.dot(mq, sel, preferred_element_type=f32, precision=hi)
+            # Vinv = (I + N)^{-1} via the Neumann series (N nilpotent)
+            eye = (wrows == wlanes).astype(f32)
+            vinv = eye - nmat
+            p = -nmat
+            for _ in range(_W - 2):
+                p = jnp.dot(-nmat, p, preferred_element_type=f32)
+                vinv = vinv + p
+
+            def upd_body(s2, _, mq=mq, sel=sel, vinv=vinv, hi=hi):
+                so = pl.multiple_of(s2 * _W, _W)
+                tk = t_ref[pl.ds(so, _W), :]                       # (W, m)
+                tp = jnp.dot(tk, sel, preferred_element_type=f32, precision=hi)
+                u = jnp.dot(tp, vinv, preferred_element_type=f32)  # (W, W)
+                upd = jnp.dot(u.astype(dt), mq, preferred_element_type=f32,
+                              precision=hi)
+                t_ref[pl.ds(so, _W), :] = (tk.astype(f32) - upd).astype(dt)
+                return 0
+
+            jax.lax.fori_loop(s + 1, nstrips, upd_body, 0)
+
+    piv_ref[:] = piv
+    pos_ref[:] = pos
+    perm_ref[:] = perm
+
+    # glist[j] = perm[off + j]: the original rows now on the diagonal
+    def gl_body(j, gl):
+        gj = jnp.sum(jnp.where(lanes == off + j, perm, 0), axis=1, keepdims=True)
+        return jnp.where(pivlanes == j, gj, gl)
+
+    glist_ref[:] = jax.lax.fori_loop(0, r, gl_body, pivlanes + off)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_strip_pivot(m: int, r: int, in_dtype_name: str, panel_dtype_name: str,
+                       interpret: bool = False):
+    in_dtype = jnp.dtype(in_dtype_name)
+    panel_dtype = jnp.dtype(panel_dtype_name)
+    ch = m if m <= _CHUNK else _CHUNK
+    assert r % _W == 0 and m % ch == 0, (m, r)
+    kernel = functools.partial(
+        _strip_pivot_kernel, r=r, m=m, nchunk=m // ch, ch=ch
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # off
+            grid=(),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),   # (m, r) panel (HBM)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # pos in (1, m)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # perm in (1, m)
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # piv (1, r)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # pos out (1, m)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # perm out (1, m)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # glist (1, r)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((r, m), panel_dtype),          # transposed panel
+                pltpu.VMEM((2, ch, r), in_dtype),         # transpose chunks
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, r), jnp.int32),
+            jax.ShapeDtypeStruct((1, m), jnp.int32),
+            jax.ShapeDtypeStruct((1, m), jnp.int32),
+            jax.ShapeDtypeStruct((1, r), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                m * r * panel_dtype.itemsize + 2 * ch * r * in_dtype.itemsize
+                + (32 << 20)
+            ),
+        ),
+        interpret=interpret,
+    )
+
+
+def strip_panel_pivots(panel, off, pos, perm, panel_dtype=None, interpret=False):
+    """Strip-blocked virtual-pivoting panel LU.
+
+    ``panel``: (m, r) working-precision panel (values at ORIGINAL row
+    positions; rows whose ``pos`` is below ``off`` are frozen).
+    ``off``: traced int32 — the current position of the diagonal.
+    ``pos`` (m,): original row -> current position; ``perm`` (m,): current
+    position -> original row (both block-column-local, carried across the
+    panels of a block column).
+
+    Returns ``(piv, pos', perm', glist)``: 0-based pivot *positions* (r,),
+    the updated maps, and ``glist[j] = perm'[off + j]`` — the original rows
+    of the chosen pivots, in diagonal order (the fused second stage gathers
+    these rows).  The low-precision factors are discarded (reference
+    semantics, `MPF.cu:120-145`)."""
+    m, r = panel.shape
+    panel_dtype = jnp.dtype(panel_dtype or panel.dtype)
+    offv = jnp.asarray(off, jnp.int32).reshape(1)
+    piv, pos2, perm2, glist = _build_strip_pivot(
+        m, r, panel.dtype.name, panel_dtype.name, interpret
+    )(offv, panel, pos.reshape(1, m), perm.reshape(1, m))
+    return piv[0], pos2[0], perm2[0], glist[0]

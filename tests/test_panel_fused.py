@@ -1,0 +1,164 @@
+"""Round-2 fused panel pipeline: strip-blocked pivot kernel, rowblock
+assembly, streaming update, and the fused driver path — interpret mode on
+CPU (SURVEY.md section 4 test strategy: Pallas interpret + golden CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+import mpf_tpu.config as cfg
+import mpf_tpu.models.mpf as M
+from mpf_tpu.ops.getf2 import panel_pivots_perm
+from mpf_tpu.ops.panel_strip import strip_panel_pivots
+from mpf_tpu.ops.panel_fused import rowblock_assemble, panel_apply_update
+from mpf_tpu.precision import MPF_BF16, ALL_BF16
+from mpf_tpu.utils import matgen
+from mpf_tpu.utils.oracle import check_factorization
+
+
+def _dyadic(rng, m, r):
+    """Entries whose elimination stays exact in fp32 — makes the deferred
+    MXU updates bit-identical to the sequential reference."""
+    a = (rng.integers(-4, 5, (m, r)) * 2.0 ** rng.integers(-2, 3, (m, r))).astype(
+        np.float32
+    )
+    a[a == 0] = 1.0
+    return a
+
+
+def test_strip_pivots_exact_match_vs_reference():
+    rng = np.random.default_rng(1)
+    for off in (0, 8, 40):
+        a = _dyadic(rng, 128, 16)
+        pos0 = jnp.arange(128, dtype=jnp.int32)
+        piv, pos, perm, glist = strip_panel_pivots(
+            jnp.asarray(a), off, pos0, pos0, panel_dtype=jnp.float32,
+            interpret=True,
+        )
+        piv_ref, perm_ref = panel_pivots_perm(jnp.asarray(a), row_offset=off)
+        np.testing.assert_array_equal(np.asarray(piv), np.asarray(piv_ref))
+        np.testing.assert_array_equal(np.asarray(perm), np.asarray(perm_ref))
+        np.testing.assert_array_equal(
+            np.asarray(glist), np.asarray(perm)[off : off + 16]
+        )
+
+
+def test_strip_pivots_invariants_bf16():
+    rng = np.random.default_rng(2)
+    m, r, off = 256, 32, 16
+    a = rng.standard_normal((m, r)).astype(np.float32)
+    pos0 = jnp.arange(m, dtype=jnp.int32)
+    piv, pos, perm, glist = strip_panel_pivots(
+        jnp.asarray(a), off, pos0, pos0, panel_dtype=jnp.bfloat16, interpret=True
+    )
+    piv, pos, perm = np.asarray(piv), np.asarray(pos), np.asarray(perm)
+    assert np.array_equal(np.sort(perm), np.arange(m))  # permutation
+    inv = np.empty(m, np.int64)
+    inv[perm] = np.arange(m)
+    assert np.array_equal(pos, inv)  # pos is the inverse map
+    assert (piv >= off).all() and (piv < m).all()
+    # frozen rows (initial position < off) never chosen
+    assert np.array_equal(perm[:off], np.arange(off))
+
+
+def test_rowblock_assemble_matches_manual():
+    rng = np.random.default_rng(3)
+    m, bc, r, jj0 = 256, 128, 8, 8
+    slab = rng.standard_normal((m, bc)).astype(np.float32)
+    glist = rng.permutation(m)[:r].astype(np.int32)
+    rb, uinv, info = rowblock_assemble(
+        jnp.asarray(slab), jnp.asarray(glist), jj0, interpret=True
+    )
+    rb, uinv = np.asarray(rb), np.asarray(uinv)
+    staged = slab[glist]
+    import scipy.linalg as sla
+
+    diag = staged[:, jj0 : jj0 + r]
+    lu = sla.lu(diag, permute_l=False)[1:]  # no pivoting: use own elimination
+    # manual no-pivot LU
+    d = diag.astype(np.float64).copy()
+    for j in range(r):
+        d[j + 1 :, j] /= d[j, j]
+        d[j + 1 :, j + 1 :] -= np.outer(d[j + 1 :, j], d[j, j + 1 :])
+    l = np.tril(d, -1) + np.eye(r)
+    u = np.triu(d)
+    np.testing.assert_allclose(rb[:, jj0 : jj0 + r], d, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(rb[:, :jj0], staged[:, :jj0], atol=0)
+    u12 = np.linalg.solve(l, staged[:, jj0 + r :].astype(np.float64))
+    np.testing.assert_allclose(rb[:, jj0 + r :], u12, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        uinv, np.linalg.inv(u), rtol=2e-3, atol=2e-3
+    )
+    assert int(info) == 0
+
+
+def test_panel_apply_update_matches_manual():
+    rng = np.random.default_rng(4)
+    m, bc, r, j0, jj0 = 256, 128, 8, 16, 16
+    slab = rng.standard_normal((m, bc)).astype(np.float32)
+    pos = jnp.asarray(rng.permutation(m).astype(np.int32))
+    rowblock = rng.standard_normal((r, bc)).astype(np.float32)
+    uinv = np.triu(rng.standard_normal((r, r))).astype(np.float32)
+    out = panel_apply_update(
+        jnp.asarray(slab), pos, jnp.asarray(rowblock), jnp.asarray(uinv),
+        j0, jj0, rb=128, interpret=True,
+    )
+    out = np.asarray(out)
+    below = np.asarray(pos) >= j0 + r
+    l21 = slab[:, jj0 : jj0 + r] @ uinv
+    u12m = rowblock.copy()
+    u12m[:, : jj0 + r] = 0.0
+    expect = slab - np.where(below[:, None], l21 @ u12m, 0.0)
+    expect[:, jj0 : jj0 + r] = np.where(
+        below[:, None], l21, slab[:, jj0 : jj0 + r]
+    )
+    np.testing.assert_allclose(out, expect, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "policy,tol", [(MPF_BF16, 1e-3), (ALL_BF16, 5e-2)]
+)
+def test_fused_driver_oracle(policy, tol, monkeypatch):
+    monkeypatch.setattr(M, "_PAD_QUANTUM", 128)  # exercise tail windows
+    monkeypatch.setattr(M, "_FUSED_RB", 128)
+    monkeypatch.setattr(cfg, "_USE_PALLAS", "1")
+    n, r, block = 384, 8, 128
+    a = matgen.hpl_ai_matrix(n, seed=1).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        res = jax.tree.map(
+            np.asarray,
+            M.mpf_factorize_traced(
+                jnp.asarray(a, dtype=policy.working), r=r, policy=policy,
+                block=block,
+            ),
+        )
+    rep = check_factorization(a.astype(np.float64), res.lu, res.ipiv, nbe_tol=tol)
+    assert rep.ok, rep
+    # composed perm consistent with ipiv-applied sequential swaps
+    perm = res.perm
+    assert np.array_equal(np.sort(perm), np.arange(n))
+
+
+def test_fused_driver_matches_jnp_path(monkeypatch):
+    monkeypatch.setattr(M, "_PAD_QUANTUM", 128)
+    monkeypatch.setattr(M, "_FUSED_RB", 128)
+    monkeypatch.setattr(cfg, "_USE_PALLAS", "1")
+    n, r, block = 256, 8, 128
+    a = matgen.hpl_ai_matrix(n, seed=0).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        res = jax.tree.map(
+            np.asarray,
+            M.mpf_factorize_traced(jnp.asarray(a), r=r, policy=MPF_BF16, block=block),
+        )
+    with cfg.force_jnp_kernels():
+        res0 = jax.tree.map(
+            np.asarray,
+            M.mpf_factorize_traced(jnp.asarray(a), r=r, policy=MPF_BF16, block=block),
+        )
+    # identical pivots on this well-separated matrix; LU equal to roundoff
+    np.testing.assert_array_equal(res.ipiv, res0.ipiv)
+    np.testing.assert_array_equal(res.perm, res0.perm)
+    d = np.abs(res.lu - res0.lu).max()
+    assert d <= 1e-5 * np.abs(res0.lu).max(), d
