@@ -264,11 +264,20 @@ def _factor_block_column_fused(slab, diag0, r, policy):
     )
     rb = min(_FUSED_RB, m)
 
-    def body(t, carry):
-        slab, pos, perm, piv_all, u_all, info = carry
+    # The panel loop is UNROLLED at trace time: jj0/j0 become constants, so
+    # the panel slice and the per-panel bookkeeping compile to static
+    # (fusable) ops — a fori_loop variant measured ~0.5 ms/panel of XLA
+    # dynamic-slice/DUS overhead alone.  Kernel instances are shape-keyed
+    # and shared across panels (offsets arrive as runtime scalars).
+    pos = _iota(m)
+    perm = _iota(m)
+    info = jnp.int32(0)
+    pivs = []
+    rowblocks = []
+    for t in range(bc // r):
         jj0 = t * r
         j0 = diag0 + jj0
-        panel = jax.lax.dynamic_slice(slab, (0, jj0), (m, r))
+        panel = slab[:, jj0 : jj0 + r]
         piv, pos, perm, glist = strip_panel_pivots(
             panel, j0, pos, perm, panel_dtype=policy.panel
         )
@@ -277,24 +286,12 @@ def _factor_block_column_fused(slab, diag0, r, policy):
         slab = panel_apply_update(
             slab, pos, rowblock, uinv, j0, jj0, rb=rb, gemm_bf16=gemm_bf16
         )
-        u_all = jax.lax.dynamic_update_slice(u_all, rowblock, (jj0, 0))
-        piv_all = jax.lax.dynamic_update_slice(piv_all, piv, (jj0,))
-        return slab, pos, perm, piv_all, u_all, info
-
-    carry = (
-        slab,
-        _iota(m),
-        _iota(m),
-        diag0 + _iota(bc),
-        jnp.zeros((bc, bc), slab.dtype),
-        jnp.int32(0),
+        pivs.append(piv)
+        rowblocks.append(rowblock)
+    piv_all = pivs[0] if len(pivs) == 1 else jnp.concatenate(pivs)
+    u_all = (
+        rowblocks[0] if len(rowblocks) == 1 else jnp.concatenate(rowblocks)
     )
-    nt = bc // r
-    if nt == 1:
-        carry = body(0, carry)
-    else:
-        carry = jax.lax.fori_loop(0, nt, body, carry)
-    slab, _, perm, piv_all, u_all, info = carry
     return slab, perm, piv_all, u_all, info
 
 
