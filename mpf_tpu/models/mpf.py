@@ -255,7 +255,10 @@ def _factor_block_column_fused(slab, diag0, r, policy):
     Returns (slab', perm (m,), piv (bc,) local positions, u_all (bc, bc),
     info local)."""
     from mpf_tpu.ops.panel_strip import strip_panel_pivots
-    from mpf_tpu.ops.panel_fused import rowblock_assemble, panel_apply_update
+    from mpf_tpu.ops.panel_fused import (
+        rowblock_assemble,
+        panel_apply_update_trim,
+    )
 
     m, bc = slab.shape
     gemm_bf16 = (
@@ -283,7 +286,7 @@ def _factor_block_column_fused(slab, diag0, r, policy):
         )
         rowblock, uinv, info_k = rowblock_assemble(slab, glist, jj0)
         info = jnp.where((info == 0) & (info_k > 0), info_k + jj0, info)
-        slab = panel_apply_update(
+        slab = panel_apply_update_trim(
             slab, pos, rowblock, uinv, j0, jj0, rb=rb, gemm_bf16=gemm_bf16
         )
         pivs.append(piv)

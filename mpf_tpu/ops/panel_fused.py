@@ -288,6 +288,100 @@ def _build_apply_update(m: int, bc: int, r: int, rb: int, dtype_name: str,
     )
 
 
+def _apply_update_trim_kernel(
+    meta_ref, slab_ref, pos_ref, rowblock_ref, uinv_ref, out_ref, l21_scr,
+    *, r: int, rb: int, gemm_bf16: bool,
+):
+    """Column-trimmed streaming update: grid (row blocks, remaining column
+    blocks of width r).  Column block 0 IS the panel: it computes
+    L21 = A[:, panel] U11^{-1}, stores it (scratch persists across the
+    sequential TPU grid), and writes it back; blocks j>0 subtract the
+    rank-r update L21 @ U12_j.  Columns left of the panel are never
+    touched (output aliased to input), so per-panel slab traffic is
+    2*m*(bc-jj0) instead of 2*m*bc."""
+    f32 = jnp.float32
+    w = slab_ref.dtype
+    j0 = meta_ref[0]
+    j = pl.program_id(1)
+    hi = jax.lax.Precision.HIGHEST if w == f32 else None
+    b = slab_ref[:]                                          # (rb, r)
+    posT = jnp.swapaxes(pos_ref[:], 0, 1)                    # (rb, 1)
+    below = jnp.broadcast_to(posT, (rb, r)) >= j0 + r
+
+    @pl.when(j == 0)
+    def _():
+        l21 = jnp.dot(b, uinv_ref[:], preferred_element_type=f32,
+                      precision=hi)
+        l21 = jnp.where(below, l21, 0.0).astype(w)
+        l21_scr[:] = l21
+        out_ref[:] = jnp.where(below, l21, b)
+
+    @pl.when(j > 0)
+    def _():
+        l21 = l21_scr[:]
+        if gemm_bf16 and w != jnp.bfloat16:
+            upd = jnp.dot(l21.astype(jnp.bfloat16),
+                          rowblock_ref[:].astype(jnp.bfloat16),
+                          preferred_element_type=f32)
+        else:
+            upd = jnp.dot(l21, rowblock_ref[:], preferred_element_type=f32,
+                          precision=hi)
+        out_ref[:] = jnp.where(below, (b.astype(f32) - upd).astype(w), b)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_apply_update_trim(m: int, bc: int, r: int, jj0: int, rb: int,
+                             dtype_name: str, gemm_bf16: bool,
+                             interpret: bool = False):
+    w = jnp.dtype(dtype_name)
+    assert m % rb == 0 and bc % r == 0 and jj0 % r == 0, (m, bc, r, jj0, rb)
+    t0 = jj0 // r
+    nt_rem = bc // r - t0
+    kernel = functools.partial(
+        _apply_update_trim_kernel, r=r, rb=rb, gemm_bf16=gemm_bf16
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # meta (1,) = [j0]
+            grid=(m // rb, nt_rem),
+            in_specs=[
+                pl.BlockSpec((rb, r), lambda i, j, meta: (i, t0 + j),
+                             memory_space=pltpu.VMEM),       # slab block
+                pl.BlockSpec((1, rb), lambda i, j, meta: (0, i),
+                             memory_space=pltpu.VMEM),       # pos block
+                pl.BlockSpec((r, r), lambda i, j, meta: (0, t0 + j),
+                             memory_space=pltpu.VMEM),       # U12 col block
+                pl.BlockSpec((r, r), lambda i, j, meta: (0, 0),
+                             memory_space=pltpu.VMEM),       # uinv
+            ],
+            out_specs=pl.BlockSpec((rb, r), lambda i, j, meta: (i, t0 + j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((rb, r), w)],         # L21 carry
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, bc), w),
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(8 * rb * r * max(w.itemsize, 4) + (16 << 20)),
+        ),
+        interpret=interpret,
+    )
+
+
+def panel_apply_update_trim(slab, pos, rowblock, uinv, j0, jj0, rb=512,
+                            gemm_bf16=False, interpret=False):
+    """Static-``jj0`` variant of :func:`panel_apply_update` (the driver's
+    unrolled panel loop supplies compile-time offsets): touches only the
+    columns at/right of the panel."""
+    m, bc = slab.shape
+    r = rowblock.shape[0]
+    meta = jnp.asarray(j0, jnp.int32).reshape(1)
+    fn = _build_apply_update_trim(
+        m, bc, r, int(jj0), rb, slab.dtype.name, bool(gemm_bf16), interpret
+    )
+    return fn(meta, slab, pos.reshape(1, m), rowblock, uinv)
+
+
 def panel_apply_update(slab, pos, rowblock, uinv, j0, jj0, rb=512,
                        gemm_bf16=False, interpret=False):
     """One in-place streaming pass over the (m, bc) slab: for every row at

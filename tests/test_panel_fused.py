@@ -12,7 +12,11 @@ import mpf_tpu.config as cfg
 import mpf_tpu.models.mpf as M
 from mpf_tpu.ops.getf2 import panel_pivots_perm
 from mpf_tpu.ops.panel_strip import strip_panel_pivots
-from mpf_tpu.ops.panel_fused import rowblock_assemble, panel_apply_update
+from mpf_tpu.ops.panel_fused import (
+    rowblock_assemble,
+    panel_apply_update,
+    panel_apply_update_trim,
+)
 from mpf_tpu.precision import MPF_BF16, ALL_BF16
 from mpf_tpu.utils import matgen
 from mpf_tpu.utils.oracle import check_factorization
@@ -115,6 +119,32 @@ def test_panel_apply_update_matches_manual():
         below[:, None], l21, slab[:, jj0 : jj0 + r]
     )
     np.testing.assert_allclose(out, expect, rtol=2e-4, atol=2e-4)
+
+
+def test_panel_apply_update_trim_matches_full():
+    """The column-trimmed variant must agree with the full-slab kernel on
+    every column at/right of the panel, and leave left columns untouched."""
+    rng = np.random.default_rng(5)
+    m, bc, r = 256, 128, 8
+    for j0, jj0 in ((16, 16), (0, 0), (40, 40), (120, 120)):
+        slab = rng.standard_normal((m, bc)).astype(np.float32)
+        pos = jnp.asarray(rng.permutation(m).astype(np.int32))
+        rowblock = rng.standard_normal((r, bc)).astype(np.float32)
+        uinv = np.triu(rng.standard_normal((r, r))).astype(np.float32)
+        full = np.asarray(panel_apply_update(
+            jnp.asarray(slab), pos, jnp.asarray(rowblock), jnp.asarray(uinv),
+            j0, jj0, rb=128, interpret=True,
+        ))
+        trim = np.asarray(panel_apply_update_trim(
+            jnp.asarray(slab), pos, jnp.asarray(rowblock), jnp.asarray(uinv),
+            j0, jj0, rb=128, interpret=True,
+        ))
+        # fp32 roundoff only: XLA CPU orders the rank-8 FMA chains
+        # differently for (rb, bc)- vs (rb, r)-wide outputs (~1 ulp)
+        np.testing.assert_allclose(
+            trim[:, jj0:], full[:, jj0:], rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(trim[:, :jj0], slab[:, :jj0])
 
 
 @pytest.mark.parametrize(
