@@ -62,27 +62,35 @@ def _dist_lu_local(tile, *, n, b, gp, gq, nb, policy, pivot):
     grows = local_row_indices(h, b, gp, pp)   # (H,) global row of each local row
     gcols = local_col_indices(w, b, gq, qq)   # (W,) global col of each local col
     nlp = h // b
+    nlq = w // b
     rows_g = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     fprec = _mm_precision(aloc)
 
+    def gather_panel(aloc, k):
+        """Replicate block column k as an (N, b) panel: psum over the column
+        axis (only the owner contributes) + all_gather over the row axis —
+        the ICI analogue of the reference's per-panel D2D panel extract
+        (`MPF.cu:108-115`).  ``k`` may be past the end (clamped; the caller
+        ignores the result on the final iteration)."""
+        jl = jnp.minimum(k // gq, nlq - 1)
+        qk = k % gq
+        colsl = jax.lax.dynamic_slice(aloc, (0, jl * b), (h, b))
+        colsl = jnp.where(qq == qk, colsl, jnp.zeros_like(colsl))
+        colsl = jax.lax.psum(colsl, COL_AXIS)
+        parts = jax.lax.all_gather(colsl, ROW_AXIS)          # (P, H, b)
+        return parts.reshape(gp, nlp, b, b).transpose(1, 0, 2, 3).reshape(n, b)
+
     def step(k, carry):
-        aloc, ipiv, info, permc = carry
+        aloc, panel, ipiv, info, permc = carry
         off = k * b
         qk = k % gq
         pk = k % gp
         jl = k // gq
         il = k // gp
 
-        # -- 1. gather panel column (replicated (N, b)) --------------------
-        colsl = jax.lax.dynamic_slice(aloc, (0, jl * b), (h, b))
-        colsl = jnp.where(qq == qk, colsl, jnp.zeros_like(colsl))
-        colsl = jax.lax.psum(colsl, COL_AXIS)
-        parts = jax.lax.all_gather(colsl, ROW_AXIS)          # (P, H, b)
-        panel = (
-            parts.reshape(gp, nlp, b, b).transpose(1, 0, 2, 3).reshape(n, b)
-        )
-
-        # -- 2. replicated panel factorization -----------------------------
+        # -- 1. replicated panel factorization (identical data on every
+        # device, so no pivot broadcast is needed — the reference instead
+        # round-trips pivots through the host, `MPF.cu:145-159`) ------------
         if pivot:
             kern = _auto_panel_kernel(n, b)
             piv, pperm = kern(cast_to_panel(panel, policy), row_offset=off)
@@ -90,8 +98,15 @@ def _dist_lu_local(tile, *, n, b, gp, gq, nb, policy, pivot):
             piv = off + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
             pperm = rows_g
 
-        # apply the composed swap row-map to the replicated panel
-        panel = jnp.take(panel, pperm, axis=0)
+        # bounded pre-pivot exchange on the replicated panel: only the <=2b
+        # positions in {off..off+b-1} U piv can differ from identity under
+        # the composed sequential-swap row map (vs the (N, b) full-height
+        # take of round 1)
+        dests = off + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
+        cand = jnp.concatenate([dests, piv])                 # (2b,) global rows
+        src_g = jnp.take(pperm, cand)
+        if pivot:
+            panel = panel.at[cand, :].set(jnp.take(panel, src_g, axis=0))
         diag = jax.lax.dynamic_slice(panel, (off, 0), (b, b))
         diag_lu, info_k = _auto_npv_kernel(b, diag.dtype)(diag)
         info = jnp.where((info == 0) & (info_k > 0), info_k + off, info)
@@ -103,10 +118,8 @@ def _dist_lu_local(tile, *, n, b, gp, gq, nb, policy, pivot):
         panel = jax.lax.dynamic_update_slice(panel, diag_lu, (off, 0))
         ipiv = jax.lax.dynamic_update_slice(ipiv, piv + 1, (off,))
 
-        # -- 3. cross-chip row swaps (LASWP) -------------------------------
-        dests = off + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
-        cand = jnp.concatenate([dests, piv])                 # (2b,) global rows
-        src_g = jnp.take(pperm, cand)
+        # -- 2. cross-chip row swaps (LASWP, `MPF.cu:42-59`): one masked
+        # psum exchange of the <=2b affected rows -------------------------
         owner_s, lrow_s = owner_local_row(src_g, b, gp)
         mine_s = owner_s == pp
         srows = jnp.take(aloc, jnp.where(mine_s, lrow_s, 0), axis=0)
@@ -116,14 +129,14 @@ def _dist_lu_local(tile, *, n, b, gp, gq, nb, policy, pivot):
         scatter_idx = jnp.where(owner_c == pp, lrow_c, h)    # h = drop
         aloc = aloc.at[scatter_idx, :].set(srows, mode="drop")
 
-        # -- 4. panel writeback (owning device column) ---------------------
+        # -- 3. panel writeback (owning device column) ---------------------
         panel_mine = jnp.take(panel, grows, axis=0)          # (H, b) my rows
         cur = jax.lax.dynamic_slice(aloc, (0, jl * b), (h, b))
         aloc = jax.lax.dynamic_update_slice(
             aloc, jnp.where(qq == qk, panel_mine, cur), (0, jl * b)
         )
 
-        # -- 5. U12 = L11^{-1} A12, broadcast along the row axis -----------
+        # -- 4. U12 = L11^{-1} A12, broadcast along the row axis -----------
         rowsl = jax.lax.dynamic_slice(aloc, (il * b, 0), (b, w))
         rowsl = jnp.where(pp == pk, rowsl, jnp.zeros_like(rowsl))
         rowsl = jax.lax.psum(rowsl, ROW_AXIS)                # (b, W) replicated
@@ -136,22 +149,45 @@ def _dist_lu_local(tile, *, n, b, gp, gq, nb, policy, pivot):
         new_row = jnp.where((pp == pk) & colmask[None, :], u12, cur_row)
         aloc = jax.lax.dynamic_update_slice(aloc, new_row, (il * b, 0))
 
-        # -- 6. trailing update (one local MXU GEMM) -----------------------
+        # -- 5. lookahead: update ONLY the next panel's local column with a
+        # narrow GEMM, then start its gather — the collectives carry no data
+        # dependence on the big trailing GEMM below, so XLA's latency-hiding
+        # scheduler overlaps them with it (comm/compute overlap over ICI) ---
         lmine = jnp.where((grows >= off + b)[:, None], panel_mine, 0)
         u12m = jnp.where(colmask[None, :], u12, 0)
-        upd = jnp.dot(
-            lmine.astype(policy.gemm_in),
-            u12m.astype(policy.gemm_in),
-            preferred_element_type=policy.accum,
-            precision=_mm_precision(lmine.astype(policy.gemm_in)),
+        gin = policy.gemm_in
+        lg = lmine.astype(gin)
+        gprec = _mm_precision(lg)
+        jl2 = jnp.minimum((k + 1) // gq, nlq - 1)
+        qk2 = (k + 1) % gq
+        ucol = jax.lax.dynamic_slice(u12m, (0, jl2 * b), (b, b))
+        updn = jnp.dot(
+            lg, ucol.astype(gin), preferred_element_type=policy.accum,
+            precision=gprec,
         )
-        aloc = (aloc.astype(policy.accum) - upd).astype(aloc.dtype)
+        curn = jax.lax.dynamic_slice(aloc, (0, jl2 * b), (h, b))
+        newn = (curn.astype(policy.accum) - updn).astype(aloc.dtype)
+        aloc2 = jax.lax.dynamic_update_slice(
+            aloc, jnp.where(qq == qk2, newn, curn), (0, jl2 * b)
+        )
+        panel_next = gather_panel(aloc2, k + 1)
+
+        # -- 6. trailing update (one local MXU GEMM, the reference's
+        # cublasDgemm `MPF.cu:230-239`), skipping the column block already
+        # updated in the lookahead ----------------------------------------
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)[:, 0] // b
+        skip = (qq == qk2) & (cidx == jl2)
+        u12g = jnp.where(skip[None, :], 0, u12m).astype(gin)
+        upd = jnp.dot(lg, u12g, preferred_element_type=policy.accum,
+                      precision=gprec)
+        aloc = (aloc2.astype(policy.accum) - upd).astype(aloc.dtype)
         permc = jnp.take(permc, pperm)  # compose this panel's swaps
-        return aloc, ipiv, info, permc
+        return aloc, panel_next, ipiv, info, permc
 
     ipiv0 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0] + 1
-    aloc, ipiv, info, permc = jax.lax.fori_loop(
-        0, nb, step, (aloc, ipiv0, jnp.int32(0), rows_g)
+    panel0 = gather_panel(aloc, 0)
+    aloc, _, ipiv, info, permc = jax.lax.fori_loop(
+        0, nb, step, (aloc, panel0, ipiv0, jnp.int32(0), rows_g)
     )
     return aloc[None, None], ipiv, info, permc
 

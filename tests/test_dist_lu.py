@@ -59,6 +59,23 @@ def test_dist_no_pivot():
     assert rep.ok, str(rep)
 
 
+def test_dist_oracle_b128():
+    """Production panel width (b=128, VERDICT round-2 item 4) on the
+    8-device mesh."""
+    mesh = make_mesh((2, 4))
+    n, b = 1024, 128
+    a = matgen.hpl_ai_matrix(n, seed=5)
+    res = dist_factorize(jnp.asarray(a), mesh, b=b, policy=MPF_BF16)
+    assert int(res.info) == 0
+    rep = check_factorization(
+        a.astype(np.float64), np.asarray(res.lu), np.asarray(res.ipiv),
+        nbe_tol=1e-3,
+    )
+    assert rep.ok, str(rep)
+    res_s = mpf_factorize(jnp.asarray(a), r=b, policy=MPF_BF16, block=b)
+    np.testing.assert_array_equal(np.asarray(res.ipiv), np.asarray(res_s.ipiv))
+
+
 def test_dist_bad_dims():
     mesh = make_mesh((2, 4))
     with pytest.raises(ValueError):

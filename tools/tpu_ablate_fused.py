@@ -28,6 +28,7 @@ BLOCK = int(os.environ.get("AB_BLOCK", "1024"))
 real_a1 = PS.strip_panel_pivots
 real_a2 = PF.rowblock_assemble
 real_b = PF.panel_apply_update
+real_bt = PF.panel_apply_update_trim
 
 
 def stub_a1(panel, off, pos, perm, panel_dtype=None, interpret=False):
@@ -71,11 +72,14 @@ PF.rowblock_assemble = stub_a2
 no_a2 = run("A2 stubbed")
 PF.rowblock_assemble = real_a2
 PF.panel_apply_update = stub_b
+PF.panel_apply_update_trim = stub_b
 no_b = run("B stubbed")
 PF.panel_apply_update = real_b
+PF.panel_apply_update_trim = real_bt
 PS.strip_panel_pivots = stub_a1
 PF.rowblock_assemble = stub_a2
 PF.panel_apply_update = stub_b
+PF.panel_apply_update_trim = stub_b
 skel = run("all three stubbed")
 
 npanels = 0
