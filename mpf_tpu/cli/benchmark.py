@@ -41,6 +41,11 @@ def main(argv=None) -> int:
                     help="panel width (reference hardcodes 32, benchmark.cpp:220)")
     ap.add_argument("--policy", default="mpf_bf16")
     ap.add_argument("--csv", default="benchmark_times.csv")
+    ap.add_argument("--dist", metavar="PxQ", default=None,
+                    help="factor on a PxQ device mesh (2D block-cyclic "
+                    "distributed driver) instead of the single-chip driver; "
+                    "needs P*Q visible devices (virtual CPU devices via "
+                    "XLA_FLAGS=--xla_force_host_platform_device_count)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -56,6 +61,24 @@ def main(argv=None) -> int:
         print(f"Unknown policy {args.policy!r}; choose from {sorted(POLICIES)}")
         return -1
     policy = POLICIES[args.policy]
+
+    mesh = None
+    if args.dist:
+        import jax
+        from mpf_tpu.parallel.mesh import make_mesh
+
+        try:
+            gp, gq = (int(v) for v in args.dist.lower().split("x"))
+        except ValueError:
+            print(f"--dist expects PxQ (e.g. 2x4), got {args.dist!r}")
+            return -1
+        if len(jax.devices()) < gp * gq:
+            print(
+                f"--dist {gp}x{gq} needs {gp * gq} devices, "
+                f"have {len(jax.devices())}"
+            )
+            return -1
+        mesh = make_mesh((gp, gq), devices=jax.devices()[: gp * gq])
     try:
         matrices = matio.read_matrix_file(args.file)
     except (OSError, ValueError) as e:
@@ -74,9 +97,30 @@ def main(argv=None) -> int:
                 _print_matrix(f"A ({n}x{n})", a)
 
             r = min(args.r, n)
-            fn = lambda x: mpf_factorize(x, r=r, policy=policy)
-            mpf_time, _ = time_fn(fn, a32, warmup=1, iters=3)
-            res = fn(a32)
+            if mesh is not None:
+                from mpf_tpu.parallel.block_cyclic import (
+                    check_dims, shard_block_cyclic, from_block_cyclic,
+                )
+                from mpf_tpu.parallel.dist_lu import make_dist_lu
+                from mpf_tpu.models.mpf import MPFResult
+
+                try:
+                    check_dims(n, r, *[int(s) for s in mesh.devices.shape])
+                except ValueError as e:
+                    print(f"n={n}: skipped under --dist ({e})")
+                    continue
+                dfn = make_dist_lu(n, r, mesh, policy)
+                tiles = shard_block_cyclic(a32, mesh, r)
+                mpf_time, _ = time_fn(dfn, tiles, warmup=1, iters=3)
+                tl, ipiv, info, perm = dfn(tiles)
+                res = MPFResult(
+                    lu=from_block_cyclic(tl, n, r), ipiv=ipiv, info=info,
+                    perm=perm,
+                )
+            else:
+                fn = lambda x: mpf_factorize(x, r=r, policy=policy)
+                mpf_time, _ = time_fn(fn, a32, warmup=1, iters=3)
+                res = fn(a32)
 
             t0 = time.perf_counter()
             lu_ref, piv_ref = scipy.linalg.lu_factor(a)

@@ -98,6 +98,30 @@ def test_benchmark_cli(tmp_path):
     assert "incorrect" not in r.stdout
 
 
+def test_benchmark_cli_dist(tmp_path):
+    """--dist PxQ runs the block-cyclic distributed driver (VERDICT round-2
+    item 8) on a virtual CPU mesh."""
+    corpus = str(tmp_path / "corpus.txt")
+    from mpf_tpu.utils import matio, matgen
+
+    matio.write_matrix_file(corpus, [matgen.hpl_ai_matrix(64, seed=2)])
+    csv = str(tmp_path / "times.csv")
+    env = dict(
+        os.environ, MPF_FORCE_CPU="1",
+        XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8",
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "mpf_tpu.cli.benchmark", corpus, "--csv", csv,
+         "--r", "8", "--dist", "2x4"],
+        capture_output=True, text=True, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = open(csv).read().strip().splitlines()
+    assert len(lines) == 2 and lines[1].startswith("64,")
+    assert "incorrect" not in r.stdout
+
+
 def test_probe_cli():
     env = dict(os.environ, MPF_FORCE_CPU="1")
     r = subprocess.run(
