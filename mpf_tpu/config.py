@@ -38,6 +38,15 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def ablate(stage: str) -> bool:
+    """Trace-time perf-attribution knob: ``MPF_ABLATE`` is a comma list of
+    driver stages to skip (results become WRONG — measurement only).
+    Stages: ``exchange`` (per-block-column physical row exchange),
+    ``outer`` (outer U12 + trailing GEMM), ``slabio`` (block-column slab
+    extract/writeback)."""
+    return stage in os.environ.get("MPF_ABLATE", "").split(",")
+
+
 @contextlib.contextmanager
 def force_jnp_kernels():
     """Trace-time override: use the jnp reference kernels regardless of

@@ -375,7 +375,8 @@ def mpf_factorize_traced(
             sub, perm_l, piv_l, u_all, info_b = _factor_block_column_fused(
                 sub, k - k0, r, policy
             )
-            a = a.at[k0:, k : k + bc].set(sub)
+            if not config.ablate("slabio"):
+                a = a.at[k0:, k : k + bc].set(sub)
             ipiv = ipiv.at[k : k + bc].set(k0 + piv_l + 1)
             info = jnp.where((info == 0) & (info_b > 0), info_b + k, info)
             # bounded physical row exchange over the <=2bc positions that can
@@ -383,8 +384,8 @@ def mpf_factorize_traced(
             # `MPF.cu:42-59`, composed into one row map)
             cand = jnp.concatenate([(k - k0) + _iota(bc), piv_l])
             src = jnp.take(perm_l, cand)
-            tail = a[k0:, :]
-            a = a.at[k0 + cand, :].set(jnp.take(tail, src, axis=0))
+            if not config.ablate("exchange"):
+                a = a.at[k0 + cand, :].set(jnp.take(a, k0 + src, axis=0))
             # the finished diagonal/U12 rows of the block column
             a = jax.lax.dynamic_update_slice(a, u_all, (k, k))
             perm_total = perm_total.at[k0:].set(
@@ -426,7 +427,7 @@ def mpf_factorize_traced(
                         a = a.at[cand, k + bc :].set(jnp.take(right, src, axis=0))
             lu11 = slab[k : k + bc, :]
 
-        if k + bc < n:
+        if k + bc < n and not config.ablate("outer"):
             # U12 block: L11^{-1} A12 via log-depth blocked triangular inverse
             linv = unit_lower_inv_blocked(lu11, base=min(r, 128))
             a12 = a[k : k + bc, k + bc :]

@@ -38,10 +38,22 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
+from mpf_tpu import config
 from mpf_tpu.precision import PrecisionPolicy, MPF_BF16, cast_to_panel
-from mpf_tpu.models.mpf import MPFResult, _auto_panel_kernel, _auto_npv_kernel
+from mpf_tpu.models.mpf import (
+    MPFResult,
+    _auto_panel_kernel,
+    _auto_npv_kernel,
+    _factor_block_column_fused,
+    _FUSED_RB,
+)
 from mpf_tpu.ops.getf2 import panel_pivots_perm, getf2_npv
-from mpf_tpu.ops.blas3 import unit_lower_inv, upper_inv, _mm_precision
+from mpf_tpu.ops.blas3 import (
+    unit_lower_inv,
+    unit_lower_inv_blocked,
+    upper_inv,
+    _mm_precision,
+)
 from mpf_tpu.parallel.mesh import ROW_AXIS, COL_AXIS
 from mpf_tpu.parallel.block_cyclic import (
     check_dims,
@@ -192,20 +204,171 @@ def _dist_lu_local(tile, *, n, b, gp, gq, nb, policy, pivot):
     return aloc[None, None], ipiv, info, permc
 
 
+def _dist_fused_ok(n: int, b: int, r: int, policy, pivot: bool) -> bool:
+    """Gate for the fused replicated-panel path (same kernel constraints as
+    the single-chip `_fused_ok`, full-height panels)."""
+    import jax.numpy as _jnp
+
+    if not (pivot and config.use_pallas()):
+        return False
+    if policy.saturate_panel or _jnp.dtype(policy.panel) not in (
+        _jnp.bfloat16, _jnp.float32
+    ):
+        return False
+    if _jnp.dtype(policy.working) not in (_jnp.bfloat16, _jnp.float32):
+        return False
+    if n % 128 or b % r or r % 8 or r < 8 or n % min(_FUSED_RB, n):
+        return False
+    if r % 128 and jax.default_backend() == "tpu":
+        return False
+    if r * n * _jnp.dtype(policy.panel).itemsize > (12 << 20):
+        return False
+    return True
+
+
+def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy):
+    """Fused-kernel variant of :func:`_dist_lu_local`: the replicated (n, b)
+    block column is factored with the single-chip fused pipeline
+    (strip-blocked pivot kernel, rowblock assembly, streaming update —
+    `ops/panel_strip.py` / `ops/panel_fused.py`), so a (1, 1)-mesh run is
+    structurally the single-chip driver plus no-op collectives.  The step
+    loop is unrolled at trace time (static offsets, like the single-chip
+    outer loop)."""
+    aloc = tile[0, 0]
+    h, w = aloc.shape
+    pp = jax.lax.axis_index(ROW_AXIS)
+    qq = jax.lax.axis_index(COL_AXIS)
+    grows = local_row_indices(h, b, gp, pp)
+    gcols = local_col_indices(w, b, gq, qq)
+    nlp, nlq = h // b, w // b
+    rows_g = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    gemm_prec = _mm_precision(jnp.zeros((), policy.gemm_in))
+
+    def gather_panel(aloc, k):
+        jl = min(k // gq, nlq - 1)
+        colsl = aloc[:, jl * b : (jl + 1) * b]
+        colsl = jnp.where(qq == k % gq, colsl, jnp.zeros_like(colsl))
+        colsl = jax.lax.psum(colsl, COL_AXIS)
+        parts = jax.lax.all_gather(colsl, ROW_AXIS)          # (P, H, b)
+        return parts.reshape(gp, nlp, b, b).transpose(1, 0, 2, 3).reshape(n, b)
+
+    ipiv = rows_g + 1
+    info = jnp.int32(0)
+    permc = rows_g
+    panel = gather_panel(aloc, 0)
+
+    for k in range(nb):
+        off = k * b
+        qk, pk = k % gq, k % gp
+        jl, il = k // gq, k // gp
+
+        # -- replicated fused block-column factorization -------------------
+        panel, perm_l, piv_l, u_all, info_b = _factor_block_column_fused(
+            panel, off, r, policy
+        )
+        info = jnp.where((info == 0) & (info_b > 0), info_b + off, info)
+        ipiv = ipiv.at[off : off + b].set(piv_l + 1)
+
+        # bounded exchange on the replicated panel (virtual -> physical),
+        # then overwrite the pivot rows with their finished values
+        dests = off + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
+        cand = jnp.concatenate([dests, piv_l])
+        src_g = jnp.take(perm_l, cand)
+        panel = panel.at[cand, :].set(jnp.take(panel, src_g, axis=0))
+        panel = jax.lax.dynamic_update_slice(panel, u_all, (off, 0))
+        permc = jnp.take(permc, perm_l)
+
+        # -- cross-chip bounded row exchange on the local tiles ------------
+        owner_s, lrow_s = owner_local_row(src_g, b, gp)
+        mine_s = owner_s == pp
+        srows = jnp.take(aloc, jnp.where(mine_s, lrow_s, 0), axis=0)
+        srows = jnp.where(mine_s[:, None], srows, jnp.zeros_like(srows))
+        srows = jax.lax.psum(srows, ROW_AXIS)
+        owner_c, lrow_c = owner_local_row(cand, b, gp)
+        scatter_idx = jnp.where(owner_c == pp, lrow_c, h)
+        aloc = aloc.at[scatter_idx, :].set(srows, mode="drop")
+
+        # -- panel writeback (strided block slice, no row gather) ----------
+        pmine = panel.reshape(n // (gp * b), gp, b, b)
+        pmine = jax.lax.dynamic_index_in_dim(pmine, pp, axis=1, keepdims=False)
+        pmine = pmine.reshape(h, b)
+        cur = aloc[:, jl * b : (jl + 1) * b]
+        aloc = aloc.at[:, jl * b : (jl + 1) * b].set(
+            jnp.where(qq == qk, pmine, cur)
+        )
+
+        # -- U12 row block: replicate owner's rows, TRSM by blocked inverse
+        rowsl = aloc[il * b : (il + 1) * b, :]
+        rowsl = jnp.where(pp == pk, rowsl, jnp.zeros_like(rowsl))
+        rowsl = jax.lax.psum(rowsl, ROW_AXIS)
+        linv = unit_lower_inv_blocked(u_all, base=min(r, 128))
+        u12 = jnp.dot(
+            linv, rowsl, preferred_element_type=policy.accum,
+            precision=_mm_precision(linv),
+        ).astype(aloc.dtype)
+        colmask = gcols >= off + b
+        cur_row = aloc[il * b : (il + 1) * b, :]
+        aloc = aloc.at[il * b : (il + 1) * b, :].set(
+            jnp.where((pp == pk) & colmask[None, :], u12, cur_row)
+        )
+
+        # -- lookahead narrow update + next-panel gather -------------------
+        lmine = jnp.where((grows >= off + b)[:, None], pmine, 0)
+        lg = lmine.astype(policy.gemm_in)
+        u12m = jnp.where(colmask[None, :], u12, 0)
+        if k + 1 < nb:
+            jl2, qk2 = (k + 1) // gq, (k + 1) % gq
+            ucol = u12m[:, jl2 * b : (jl2 + 1) * b]
+            updn = jnp.dot(
+                lg, ucol.astype(policy.gemm_in),
+                preferred_element_type=policy.accum, precision=gemm_prec,
+            )
+            curn = aloc[:, jl2 * b : (jl2 + 1) * b]
+            newn = (curn.astype(policy.accum) - updn).astype(aloc.dtype)
+            aloc = aloc.at[:, jl2 * b : (jl2 + 1) * b].set(
+                jnp.where(qq == qk2, newn, curn)
+            )
+            panel = gather_panel(aloc, k + 1)
+            cidx = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)[:, 0] // b
+            skip = (qq == qk2) & (cidx == jl2)
+            u12m = jnp.where(skip[None, :], 0, u12m)
+
+        # -- trailing update (one local MXU GEMM) --------------------------
+        upd = jnp.dot(
+            lg, u12m.astype(policy.gemm_in),
+            preferred_element_type=policy.accum, precision=gemm_prec,
+        )
+        aloc = (aloc.astype(policy.accum) - upd).astype(aloc.dtype)
+
+    return aloc[None, None], ipiv, info, permc
+
+
 def make_dist_lu(n: int, b: int, mesh, policy: PrecisionPolicy = MPF_BF16,
-                 pivot: bool = True):
+                 pivot: bool = True, r: int = 128):
     """Build the jitted SPMD factorizer over ``mesh`` for (P,Q,H,W) tiles.
 
     Returns ``fn(tiles) -> (tiles_lu, ipiv, info, perm)`` where
     ``ipiv``/``info``/``perm`` are replicated (``perm`` is the composed row
     map, see ``MPFResult.perm``).  Use :func:`mpf_tpu.parallel.block_cyclic.shard_block_cyclic`
     to lay out the input.
+
+    When the fused-kernel constraints hold (TPU Pallas, ``b % r == 0``,
+    aligned sizes) the replicated block-column factorization runs the
+    single-chip fused pipeline with inner panel width ``r``; use a large
+    layout block (b=1024) there so the trailing GEMMs stay big.
     """
     gp, gq = mesh.shape[ROW_AXIS], mesh.shape[COL_AXIS]
     nb = check_dims(n, b, gp, gq)
-    body = functools.partial(
-        _dist_lu_local, n=n, b=b, gp=gp, gq=gq, nb=nb, policy=policy, pivot=pivot
-    )
+    if _dist_fused_ok(n, b, r, policy, pivot):
+        body = functools.partial(
+            _dist_lu_local_fused, n=n, b=b, r=r, gp=gp, gq=gq, nb=nb,
+            policy=policy,
+        )
+    else:
+        body = functools.partial(
+            _dist_lu_local, n=n, b=b, gp=gp, gq=gq, nb=nb, policy=policy,
+            pivot=pivot,
+        )
     fn = jax.shard_map(
         body,
         mesh=mesh,

@@ -76,6 +76,38 @@ def test_dist_oracle_b128():
     np.testing.assert_array_equal(np.asarray(res.ipiv), np.asarray(res_s.ipiv))
 
 
+def test_dist_fused_matches_jnp_path(monkeypatch):
+    """The fused replicated-panel dist path (round 2) must produce the same
+    pivots/factors as the jnp dist path — interpret mode on the CPU mesh."""
+    from jax.experimental.pallas import tpu as pltpu
+    import mpf_tpu.config as cfg
+    from mpf_tpu.parallel.dist_lu import make_dist_lu, _dist_fused_ok
+    from mpf_tpu.parallel.block_cyclic import to_block_cyclic
+
+    n, b, r = 256, 128, 8
+    mesh = make_mesh((2, 2), devices=jax.devices()[:4])
+    a = matgen.hpl_ai_matrix(n, seed=13)
+    tiles = to_block_cyclic(jnp.asarray(a), 2, 2, b)
+
+    monkeypatch.setattr(cfg, "_USE_PALLAS", "1")
+    assert _dist_fused_ok(n, b, r, MPF_BF16, True)
+    with pltpu.force_tpu_interpret_mode():
+        t_f, ipiv_f, info_f, perm_f = jax.tree.map(
+            np.asarray, make_dist_lu(n, b, mesh, MPF_BF16, r=r)(tiles)
+        )
+    monkeypatch.setattr(cfg, "_USE_PALLAS", "0")
+    t_j, ipiv_j, info_j, perm_j = jax.tree.map(
+        np.asarray, make_dist_lu(n, b, mesh, MPF_BF16, r=r)(tiles)
+    )
+    np.testing.assert_array_equal(ipiv_f, ipiv_j)
+    np.testing.assert_array_equal(perm_f, perm_j)
+    lu_f = from_block_cyclic(t_f, n, b)
+    rep = check_factorization(
+        a.astype(np.float64), np.asarray(lu_f), ipiv_f, nbe_tol=1e-3
+    )
+    assert rep.ok, str(rep)
+
+
 def test_dist_bad_dims():
     mesh = make_mesh((2, 4))
     with pytest.raises(ValueError):
