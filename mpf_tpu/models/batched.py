@@ -26,11 +26,33 @@ def batched_factorize(
 ) -> MPFResult:
     """Factor a (batch, n, n) stack of matrices.  Returns stacked MPFResult.
 
-    Uses the jnp reference kernels (the fused Pallas kernels' in-place
-    aliasing / DMA patterns are not vmappable); batched problems are small
-    per-instance, so the vectorized XLA path is appropriate.
+    On TPU with fp32 working precision the grid-parallel batched Pallas
+    kernel factors tiles of matrices vectorized across the batch
+    (`ops/batched_pallas.py` — the round-2 TPU path for BASELINE.json
+    config 5); otherwise the blocked driver runs under ``vmap`` with the
+    jnp reference kernels (the fused single-matrix kernels' aliasing/DMA
+    patterns are not vmappable).
     """
+    import jax.numpy as jnp
+
     from mpf_tpu import config
+
+    bsz, n = a.shape[0], a.shape[1]
+    if (
+        pivot
+        and config.use_pallas()
+        and jnp.dtype(policy.working) == jnp.float32
+        and n % 8 == 0
+        and n <= 1024
+        and any(bsz % t == 0 for t in (8, 4, 2, 1))
+    ):
+        from mpf_tpu.ops.batched_pallas import batched_lu
+
+        nb = next(t for t in (8, 4, 2, 1) if bsz % t == 0)
+        lu, ipiv, perm, info = batched_lu(
+            a.astype(policy.working), nb_tile=nb
+        )
+        return MPFResult(lu=lu, ipiv=ipiv, info=info, perm=perm)
 
     fn = lambda m: mpf_factorize_traced(m, r=r, policy=policy, pivot=pivot)
     with config.force_jnp_kernels():
