@@ -30,15 +30,39 @@ from mpf_tpu.utils.oracle import check_factorization
 
 
 def main():
-    n = int(os.environ.get("BENCH_N", "16384"))
+    n = int(os.environ.get("BENCH_N", "32768"))
     r = int(os.environ.get("BENCH_R", "128"))
     block = int(os.environ.get("BENCH_BLOCK", "1024"))
     policy = MPF_BF16
 
-    a = matgen.hpl_ai_matrix_device(n, seed=0)  # on-device: no slow H2D
+    # headline size first (BASELINE.json primary metric: LU TFLOP/s at
+    # n=32768); fall back if this chip can't hold it.  The input is donated
+    # and regenerated on device per run (H2D through the tunnel is ~10 MB/s);
+    # generation time is measured separately and subtracted.
+    sizes = [n] + [s for s in (16384,) if s < n]
+    last_err = None
+    for n_try in sizes:
+        try:
+            fac = mpf_tpu.make_mpf(n_try, r=r, policy=policy, block=block,
+                                   donate=True)
 
-    fac = mpf_tpu.make_mpf(n, r=r, policy=policy, block=block, donate=False)
-    secs, res = time_fn(fac, a, warmup=1, iters=3)
+            def run(_):
+                return fac(matgen.hpl_ai_matrix_device(n_try, seed=0))
+
+            secs, _ = time_fn(run, 0, warmup=1, iters=3)
+            gsecs, _ = time_fn(
+                lambda _: matgen.hpl_ai_matrix_device(n_try, seed=0),
+                0, warmup=1, iters=2,
+            )
+            secs = max(secs - gsecs, 1e-9)
+            n = n_try
+            break
+        except Exception as e:  # noqa: BLE001 — loudly fall back
+            last_err = e
+            print(f"WARNING: n={n_try} failed ({type(e).__name__}: {e}); "
+                  "falling back", file=sys.stderr)
+    else:
+        raise last_err
     ours = tflops(n, secs)
 
     # correctness gate on a smaller instance (full oracle is O(n^3) on host)
@@ -55,9 +79,9 @@ def main():
     base_fn = jax.jit(jax.scipy.linalg.lu_factor)
     base, vs, base_n = None, None, None
     base_errors = []
-    for nb in [n, 8192, 4096]:
+    for nb in [min(n, 16384), 8192, 4096]:
         try:
-            ab = a if nb == n else matgen.hpl_ai_matrix_device(nb, seed=0)
+            ab = matgen.hpl_ai_matrix_device(nb, seed=0)
             bsecs, _ = time_fn(base_fn, ab, warmup=1, iters=3)
             base = tflops(nb, bsecs)
             base_n = nb

@@ -280,9 +280,10 @@ def _factor_block_column_fused(slab, diag0, r, policy):
     for t in range(bc // r):
         jj0 = t * r
         j0 = diag0 + jj0
-        panel = slab[:, jj0 : jj0 + r]
+        # the pivot kernel reads its panel straight out of the slab in HBM
+        # (lane offset jj0) — no (m, r) panel slice is ever materialized
         piv, pos, perm, glist = strip_panel_pivots(
-            panel, j0, pos, perm, panel_dtype=policy.panel
+            slab, j0, pos, perm, panel_dtype=policy.panel, jj0=jj0, r=r
         )
         rowblock, uinv, info_k = rowblock_assemble(slab, glist, jj0)
         info = jnp.where((info == 0) & (info_k > 0), info_k + jj0, info)

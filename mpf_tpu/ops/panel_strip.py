@@ -52,20 +52,23 @@ _CHUNK = 1024   # rows per transpose-load DMA chunk
 
 
 def _strip_pivot_kernel(
-    off_ref, panel_ref, pos_in_ref, perm_in_ref,
+    meta_ref, panel_ref, pos_in_ref, perm_in_ref,
     piv_ref, pos_ref, perm_ref, glist_ref,
     t_ref, chunk_ref, sem,
-    *, r: int, m: int, nchunk: int, ch: int,
+    *, r: int, m: int, nchunk: int, ch: int, allow_packed: bool = False,
 ):
     dt = t_ref.dtype
     f32 = jnp.float32
 
     # ---- load + cast + transpose the (m, r) panel into T (r, m), chunked
-    # (double-buffered DMAs; the panel stays in HBM — at n=32768 the natural
-    # panel no longer fits VMEM alongside T) --------------------------------
+    # (double-buffered DMAs; the slab stays in HBM — the panel is read at
+    # lane offset jj0 straight out of the full block-column slab, so the
+    # driver never materializes an (m, r) panel slice) ----------------------
+    jj0 = pl.multiple_of(meta_ref[1], min(r, 128))
+
     def chunk_dma(slot, c):
         return pltpu.make_async_copy(
-            panel_ref.at[pl.ds(c * ch, ch), :],
+            panel_ref.at[pl.ds(c * ch, ch), pl.ds(jj0, r)],
             chunk_ref.at[slot],
             sem.at[slot],
         )
@@ -79,15 +82,32 @@ def _strip_pivot_kernel(
             chunk_ref[c % 2].astype(dt), 0, 1
         )
 
-    off = off_ref[0]
+    off = meta_ref[0]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)   # original row ids
     pivlanes = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
     wlanes = jax.lax.broadcasted_iota(jnp.int32, (1, _W), 1)
     wrows = jax.lax.broadcasted_iota(jnp.int32, (_W, 1), 0)
     mrows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
 
-    pos = pos_in_ref[:]
-    perm = perm_in_ref[:]
+    # The per-column search/bookkeeping chain runs on (8, m/8) PACKED views:
+    # (1, m) vectors occupy one sublane of each vreg (1/8 VPU efficiency),
+    # and the chain is ~10 dependent ops per column — repacking costs two
+    # cheap reshapes per column and runs the chain at full vector width.
+    # Compiled Mosaic on this target rejects lane->sublane shape casts
+    # ("infer-vector-layout: unsupported shape cast"), so the packed chain
+    # is interpret-only until the group-major layout rewrite lands.
+    packable = allow_packed and m % (8 * 128) == 0
+    ml = m // 8 if packable else m
+
+    def pk(v):   # (1, m) -> (8, ml) row-major split
+        return v.reshape(8, ml) if packable else v
+
+    def upk(v):  # (8, ml) -> (1, m)
+        return v.reshape(1, m) if packable else v
+
+    lanes3 = pk(lanes)
+    pos = pk(pos_in_ref[:])
+    perm = pk(perm_in_ref[:])
     piv = pivlanes + off
     nstrips = r // _W
 
@@ -100,37 +120,48 @@ def _strip_pivot_kernel(
         def col_body(jc, carry, s0=s0):
             st, mbuf, olist, pos, perm, piv = carry
             d = off + s0 + jc
-            # current column values: one (W, m) masked reduce
+            # current column values: one (W, m) masked reduce, then packed
             colv = jnp.sum(
                 jnp.where(wrows == jc, st, 0.0), axis=0, keepdims=True
             )  # (1, m)
-            # pivot search over rows not yet chosen (lowest position wins)
-            cabs = jnp.where(pos >= d, jnp.abs(colv), f32(-1.0))
-            mx = jnp.max(cabs, axis=1, keepdims=True)              # (1, 1)
+            colv3 = pk(colv)
+            # pivot search over rows not yet chosen (lowest position wins);
+            # all reductions kept as (1, 1) arrays (vector->scalar extraction
+            # stalls the VPU on this target)
+            cabs = jnp.where(pos >= d, jnp.abs(colv3), f32(-1.0))
+            mx = jnp.max(cabs, keepdims=True).reshape(1, 1)
             cp = jnp.min(
-                jnp.where((cabs == mx) & (pos >= d), pos, m),
-                axis=1, keepdims=True,
-            )  # (1, 1) current position of the winner
-            o = jnp.sum(jnp.where(pos == cp, lanes, 0), axis=1, keepdims=True)
-            o2 = jnp.sum(jnp.where(pos == d, lanes, 0), axis=1, keepdims=True)
-            pos = jnp.where(lanes == o, d, jnp.where(lanes == o2, cp, pos))
-            perm = jnp.where(lanes == d, o, jnp.where(lanes == cp, o2, perm))
+                jnp.where((cabs == mx) & (pos >= d), pos, m), keepdims=True
+            ).reshape(1, 1)
+            o1 = jnp.sum(jnp.where(pos == cp, lanes3, 0), keepdims=True
+                         ).reshape(1, 1)
+            o2 = jnp.sum(jnp.where(pos == d, lanes3, 0), keepdims=True
+                         ).reshape(1, 1)
+            pos = jnp.where(lanes3 == o1, d, jnp.where(lanes3 == o2, cp, pos))
+            perm = jnp.where(lanes3 == d, o1, jnp.where(lanes3 == cp, o2, perm))
             piv = jnp.where(pivlanes == s0 + jc, cp, piv)
-            olist = jnp.where(wlanes == jc, o, olist)
+            olist = jnp.where(wlanes == jc, o1, olist)
             # multipliers (fp32; masked to rows still below the diagonal)
-            pivval = jnp.sum(jnp.where(lanes == o, colv, 0.0), axis=1, keepdims=True)
+            pivval = jnp.sum(jnp.where(lanes3 == o1, colv3, 0.0), keepdims=True
+                             ).reshape(1, 1)
             safe = jnp.where(pivval == 0, f32(1), pivval)
-            mult = jnp.where(pos > d, colv / safe, 0.0)            # (1, m)
+            mult3 = jnp.where(pos > d, colv3 / safe, 0.0)          # (8, ml)
+            mult = upk(mult3)                                      # (1, m)
             mbuf = jnp.where(wrows == jc, mult, mbuf)
             # in-strip elimination: rows jc+1.. of the strip only
-            ucol = jnp.sum(jnp.where(lanes == o, st, 0.0), axis=1, keepdims=True)
+            ucol = jnp.sum(jnp.where(lanes == o1, st, 0.0), axis=1,
+                           keepdims=True)
             ucol = jnp.where(wrows > jc, ucol, 0.0)                # (W, 1)
             st = st - ucol * mult
             return st, mbuf, olist, pos, perm, piv
 
-        st, mbuf, olist, pos, perm, piv = jax.lax.fori_loop(
-            0, _W, col_body, (st, mbuf, olist, pos, perm, piv)
-        )
+        # columns unrolled: the fori carry (st + mbuf, ~2x(W,m) fp32) would
+        # spill/reload through VMEM every iteration; with static jc the
+        # values stay live and the masked wrows==jc selects fold to slices
+        carry = (st, mbuf, olist, pos, perm, piv)
+        for jc in range(_W):
+            carry = col_body(jc, carry)
+        st, mbuf, olist, pos, perm, piv = carry
         t_ref[pl.ds(s0, _W), :] = st.astype(dt)
 
         if s + 1 < nstrips:
@@ -162,34 +193,36 @@ def _strip_pivot_kernel(
             jax.lax.fori_loop(s + 1, nstrips, upd_body, 0)
 
     piv_ref[:] = piv
-    pos_ref[:] = pos
-    perm_ref[:] = perm
+    pos_ref[:] = upk(pos)
+    perm_ref[:] = upk(perm)
 
     # glist[j] = perm[off + j]: the original rows now on the diagonal
     def gl_body(j, gl):
-        gj = jnp.sum(jnp.where(lanes == off + j, perm, 0), axis=1, keepdims=True)
+        gj = jnp.sum(jnp.where(lanes3 == off + j, perm, 0), keepdims=True
+                     ).reshape(1, 1)
         return jnp.where(pivlanes == j, gj, gl)
 
     glist_ref[:] = jax.lax.fori_loop(0, r, gl_body, pivlanes + off)
 
 
 @functools.lru_cache(maxsize=64)
-def _build_strip_pivot(m: int, r: int, in_dtype_name: str, panel_dtype_name: str,
-                       interpret: bool = False):
+def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
+                       panel_dtype_name: str, interpret: bool = False):
     in_dtype = jnp.dtype(in_dtype_name)
     panel_dtype = jnp.dtype(panel_dtype_name)
     ch = m if m <= _CHUNK else _CHUNK
     assert r % _W == 0 and m % ch == 0, (m, r)
     kernel = functools.partial(
-        _strip_pivot_kernel, r=r, m=m, nchunk=m // ch, ch=ch
+        _strip_pivot_kernel, r=r, m=m, nchunk=m // ch, ch=ch,
+        allow_packed=interpret,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # off
+            num_scalar_prefetch=1,  # meta (2,) = [off, jj0]
             grid=(),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),   # (m, r) panel (HBM)
+                pl.BlockSpec(memory_space=pltpu.ANY),   # (m, w) slab (HBM)
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # pos in (1, m)
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # perm in (1, m)
             ],
@@ -221,11 +254,16 @@ def _build_strip_pivot(m: int, r: int, in_dtype_name: str, panel_dtype_name: str
     )
 
 
-def strip_panel_pivots(panel, off, pos, perm, panel_dtype=None, interpret=False):
+def strip_panel_pivots(panel, off, pos, perm, panel_dtype=None, interpret=False,
+                       jj0=0, r=None):
     """Strip-blocked virtual-pivoting panel LU.
 
-    ``panel``: (m, r) working-precision panel (values at ORIGINAL row
-    positions; rows whose ``pos`` is below ``off`` are frozen).
+    ``panel``: (m, w) working-precision slab (values at ORIGINAL row
+    positions; rows whose ``pos`` is below ``off`` are frozen).  The
+    r-wide panel factored is columns [``jj0``, ``jj0``+r) — read straight
+    out of the slab in HBM, so callers never materialize a panel slice
+    (``jj0`` must be a multiple of min(r, 128) for lane-aligned DMA; the
+    default jj0=0, r=w factors the whole slab width).
     ``off``: traced int32 — the current position of the diagonal.
     ``pos`` (m,): original row -> current position; ``perm`` (m,): current
     position -> original row (both block-column-local, carried across the
@@ -236,10 +274,13 @@ def strip_panel_pivots(panel, off, pos, perm, panel_dtype=None, interpret=False)
     of the chosen pivots, in diagonal order (the fused second stage gathers
     these rows).  The low-precision factors are discarded (reference
     semantics, `MPF.cu:120-145`)."""
-    m, r = panel.shape
+    m, w = panel.shape
+    r = w if r is None else r
     panel_dtype = jnp.dtype(panel_dtype or panel.dtype)
-    offv = jnp.asarray(off, jnp.int32).reshape(1)
+    meta = jnp.stack(
+        [jnp.asarray(off, jnp.int32), jnp.asarray(jj0, jnp.int32)]
+    )
     piv, pos2, perm2, glist = _build_strip_pivot(
-        m, r, panel.dtype.name, panel_dtype.name, interpret
-    )(offv, panel, pos.reshape(1, m), perm.reshape(1, m))
+        m, w, r, panel.dtype.name, panel_dtype.name, interpret
+    )(meta, panel, pos.reshape(1, m), perm.reshape(1, m))
     return piv[0], pos2[0], perm2[0], glist[0]

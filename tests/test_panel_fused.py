@@ -49,6 +49,29 @@ def test_strip_pivots_exact_match_vs_reference():
         )
 
 
+def test_strip_pivots_packed_path_matches_reference():
+    """m % 1024 == 0 engages the (8, m/8) packed search chain — must be
+    bit-identical to the reference kernel (and hence the flat path)."""
+    rng = np.random.default_rng(6)
+    m, r, off = 1024, 16, 24
+    a = _dyadic(rng, m, r)
+    pos0 = jnp.arange(m, dtype=jnp.int32)
+    piv, pos, perm, glist = strip_panel_pivots(
+        jnp.asarray(a), off, pos0, pos0, panel_dtype=jnp.float32,
+        interpret=True,
+    )
+    piv_ref, perm_ref = panel_pivots_perm(jnp.asarray(a), row_offset=off)
+    np.testing.assert_array_equal(np.asarray(piv), np.asarray(piv_ref))
+    np.testing.assert_array_equal(np.asarray(perm), np.asarray(perm_ref))
+    np.testing.assert_array_equal(
+        np.asarray(glist), np.asarray(perm)[off : off + r]
+    )
+    pos_n = np.asarray(pos)
+    inv = np.empty(m, np.int64)
+    inv[np.asarray(perm)] = np.arange(m)
+    np.testing.assert_array_equal(pos_n, inv)
+
+
 def test_strip_pivots_invariants_bf16():
     rng = np.random.default_rng(2)
     m, r, off = 256, 32, 16
