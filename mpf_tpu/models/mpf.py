@@ -216,6 +216,13 @@ _PAD_QUANTUM = 4096  # row padding quantum for fused-path kernel instances
 _FUSED_RB = 512      # streaming-update row-block height
 
 
+def _pad_quantum(n: int) -> int:
+    """Window quantum: every distinct window height is a distinct compiled
+    instance of each Pallas kernel, and the n=32768 driver hit the 2 GB
+    executable-serialization limit — larger n gets a coarser quantum."""
+    return _PAD_QUANTUM * (2 if n > 32768 else 1)
+
+
 def _fused_ok(n: int, k: int, bc: int, r: int, policy, pivot, panel_kernel) -> bool:
     """Gate for the fused virtual-pivoting block-column path (round 2)."""
     if not (pivot and panel_kernel is None and config.use_pallas()):
@@ -232,11 +239,13 @@ def _fused_ok(n: int, k: int, bc: int, r: int, policy, pivot, panel_kernel) -> b
     # CPU interpret mode (tests) has no such constraint
     if r % 128 and jax.default_backend() == "tpu":
         return False
-    m = min(n, -((k - n) // _PAD_QUANTUM) * _PAD_QUANTUM)
+    q = _pad_quantum(n)
+    m = min(n, -((k - n) // q) * q)
     if m % min(_FUSED_RB, m):
         return False
-    # transposed panel must fit VMEM next to the strip buffers
-    if r * m * jnp.dtype(policy.panel).itemsize > (12 << 20):
+    # transposed panel must fit VMEM next to the strip buffers (v5e VMEM is
+    # 128 MB; n=65536 bf16 panels need ~17 MB)
+    if r * m * jnp.dtype(policy.panel).itemsize > (40 << 20):
         return False
     return True
 
@@ -252,8 +261,8 @@ def _factor_block_column_fused(slab, diag0, r, policy):
     pivot round-trip + LASWP launch per panel in the reference,
     `MPF.cu:145-162`).
 
-    Returns (slab', perm (m,), piv (bc,) local positions, u_all (bc, bc),
-    info local)."""
+    Returns (slab', pos (m,), perm (m,), piv (bc,) local positions,
+    u_all (bc, bc), info local)."""
     from mpf_tpu.ops.panel_strip import strip_panel_pivots
     from mpf_tpu.ops.panel_fused import (
         rowblock_assemble,
@@ -296,7 +305,7 @@ def _factor_block_column_fused(slab, diag0, r, policy):
     u_all = (
         rowblocks[0] if len(rowblocks) == 1 else jnp.concatenate(rowblocks)
     )
-    return slab, perm, piv_all, u_all, info
+    return slab, pos, perm, piv_all, u_all, info
 
 
 def _factor_block_column(slab, kk, r, policy, pivot, panel_kernel):
@@ -370,23 +379,39 @@ def mpf_factorize_traced(
         if _fused_ok(n, k, bc, r, policy, pivot, panel_kernel):
             # ---- round-2 fused path: virtual pivoting within the block
             # column, ONE bounded physical exchange per block column --------
-            m = min(n, -((k - n) // _PAD_QUANTUM) * _PAD_QUANTUM)
+            q = _pad_quantum(n)
+            m = min(n, -((k - n) // q) * q)
             k0 = n - m  # rows above k0 can neither pivot nor update
             sub = a[k0:, k : k + bc]
-            sub, perm_l, piv_l, u_all, info_b = _factor_block_column_fused(
-                sub, k - k0, r, policy
+            sub, pos_l, perm_l, piv_l, u_all, info_b = (
+                _factor_block_column_fused(sub, k - k0, r, policy)
             )
             if not config.ablate("slabio"):
                 a = a.at[k0:, k : k + bc].set(sub)
             ipiv = ipiv.at[k : k + bc].set(k0 + piv_l + 1)
             info = jnp.where((info == 0) & (info_b > 0), info_b + k, info)
-            # bounded physical row exchange over the <=2bc positions that can
-            # have moved, full matrix width (LAPACK LASWP semantics,
-            # `MPF.cu:42-59`, composed into one row map)
-            cand = jnp.concatenate([(k - k0) + _iota(bc), piv_l])
-            src = jnp.take(perm_l, cand)
+            # Bounded physical row exchange (LAPACK LASWP semantics,
+            # `MPF.cu:42-59`, composed into one row map), split by the
+            # structure of the composed map: (a) every row moving INTO the
+            # band [k, k+bc) is a pivot row at an arbitrary position — a
+            # true gather, done by the DMA rows_gather kernel (XLA row
+            # gathers run ~45 GB/s here and dominated the round-2 profile);
+            # (b) every row moving OUT to a non-band position is an ORIGINAL
+            # band occupant (swap chains always bottom out in the band), so
+            # its values come from a contiguous slice and only a bounded
+            # scatter (cheap, in-place) is needed.
+            band_idx = (k - k0) + _iota(bc)
             if not config.ablate("exchange"):
-                a = a.at[k0 + cand, :].set(jnp.take(a, k0 + src, axis=0))
+                glist_b = k0 + jnp.take(perm_l, band_idx)  # pivot-row sources
+                if config.use_pallas() and jax.default_backend() == "tpu":
+                    from mpf_tpu.ops.panel_fused import rows_gather
+
+                    pivrows = rows_gather(a, glist_b)
+                else:
+                    pivrows = jnp.take(a, glist_b, axis=0)
+                dests_b = k0 + jnp.take(pos_l, band_idx)   # band rows' new pos
+                a = a.at[dests_b, :].set(a[k : k + bc, :])
+                a = jax.lax.dynamic_update_slice(a, pivrows, (k, 0))
             # the finished diagonal/U12 rows of the block column
             a = jax.lax.dynamic_update_slice(a, u_all, (k, k))
             perm_total = perm_total.at[k0:].set(

@@ -111,13 +111,20 @@ def _strip_pivot_kernel(
     piv = pivlanes + off
     nstrips = r // _W
 
-    for s in range(nstrips):          # strips unrolled (static shapes)
-        s0 = s * _W
+    # Strips run under a fori_loop (small carry: pos/perm/piv only — the
+    # strip values/multipliers live within one iteration) with the 8-column
+    # inner loop UNROLLED (static jc keeps st/mbuf live, no VMEM carry
+    # spills).  A fully strip-unrolled variant compiled ~16x more Mosaic
+    # code per kernel instance and pushed the n=32768 driver program past
+    # the 2 GB executable-serialization limit.
+    def strip_body(s, carry0):
+        pos, perm, piv = carry0
+        s0 = pl.multiple_of(s * _W, _W)
         st = t_ref[pl.ds(s0, _W), :].astype(f32)     # active strip, fp32
         mbuf = jnp.zeros((_W, m), f32)               # multiplier rows
         olist = jnp.zeros((1, _W), jnp.int32)        # pivot lanes o_j
 
-        def col_body(jc, carry, s0=s0):
+        def col_body(jc, carry):
             st, mbuf, olist, pos, perm, piv = carry
             d = off + s0 + jc
             # current column values: one (W, m) masked reduce, then packed
@@ -164,33 +171,37 @@ def _strip_pivot_kernel(
         st, mbuf, olist, pos, perm, piv = carry
         t_ref[pl.ds(s0, _W), :] = st.astype(dt)
 
-        if s + 1 < nstrips:
-            # ---- deferred rank-W update of all future strips (MXU) --------
-            mq = mbuf.astype(dt)
-            sel = (mrows == olist).astype(dt)                      # (m, W) one-hot
-            hi = jax.lax.Precision.HIGHEST if dt == f32 else None
-            # N[j', j] = M[j', o_j]; strictly upper by construction (mult of
-            # column j' is zero at pivot lanes o_j, j <= j')
-            nmat = jnp.dot(mq, sel, preferred_element_type=f32, precision=hi)
-            # Vinv = (I + N)^{-1} via the Neumann series (N nilpotent)
-            eye = (wrows == wlanes).astype(f32)
-            vinv = eye - nmat
-            p = -nmat
-            for _ in range(_W - 2):
-                p = jnp.dot(-nmat, p, preferred_element_type=f32)
-                vinv = vinv + p
+        # ---- deferred rank-W update of all future strips (MXU) ------------
+        mq = mbuf.astype(dt)
+        sel = (mrows == olist).astype(dt)                      # (m, W) one-hot
+        hi = jax.lax.Precision.HIGHEST if dt == f32 else None
+        # N[j', j] = M[j', o_j]; strictly upper by construction (mult of
+        # column j' is zero at pivot lanes o_j, j <= j')
+        nmat = jnp.dot(mq, sel, preferred_element_type=f32, precision=hi)
+        # Vinv = (I + N)^{-1} via the Neumann series (N nilpotent)
+        eye = (wrows == wlanes).astype(f32)
+        vinv = eye - nmat
+        p = -nmat
+        for _ in range(_W - 2):
+            p = jnp.dot(-nmat, p, preferred_element_type=f32)
+            vinv = vinv + p
 
-            def upd_body(s2, _, mq=mq, sel=sel, vinv=vinv, hi=hi):
-                so = pl.multiple_of(s2 * _W, _W)
-                tk = t_ref[pl.ds(so, _W), :]                       # (W, m)
-                tp = jnp.dot(tk, sel, preferred_element_type=f32, precision=hi)
-                u = jnp.dot(tp, vinv, preferred_element_type=f32)  # (W, W)
-                upd = jnp.dot(u.astype(dt), mq, preferred_element_type=f32,
-                              precision=hi)
-                t_ref[pl.ds(so, _W), :] = (tk.astype(f32) - upd).astype(dt)
-                return 0
+        def upd_body(s2, _):
+            so = pl.multiple_of(s2 * _W, _W)
+            tk = t_ref[pl.ds(so, _W), :]                       # (W, m)
+            tp = jnp.dot(tk, sel, preferred_element_type=f32, precision=hi)
+            u = jnp.dot(tp, vinv, preferred_element_type=f32)  # (W, W)
+            upd = jnp.dot(u.astype(dt), mq, preferred_element_type=f32,
+                          precision=hi)
+            t_ref[pl.ds(so, _W), :] = (tk.astype(f32) - upd).astype(dt)
+            return 0
 
-            jax.lax.fori_loop(s + 1, nstrips, upd_body, 0)
+        jax.lax.fori_loop(s + 1, nstrips, upd_body, 0)
+        return pos, perm, piv
+
+    pos, perm, piv = jax.lax.fori_loop(
+        0, nstrips, strip_body, (pos, perm, piv)
+    )
 
     piv_ref[:] = piv
     pos_ref[:] = upk(pos)
@@ -245,9 +256,11 @@ def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
             jax.ShapeDtypeStruct((1, r), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
+            # transposed panel + chunk ring + the (1|8, m) search/multiplier
+            # temporaries (pos/perm/st/mbuf/sel and their compare masks)
             vmem_limit_bytes=int(
                 m * r * panel_dtype.itemsize + 2 * ch * r * in_dtype.itemsize
-                + (32 << 20)
+                + 48 * m + (40 << 20)
             ),
         ),
         interpret=interpret,

@@ -263,8 +263,8 @@ def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy):
         jl, il = k // gq, k // gp
 
         # -- replicated fused block-column factorization -------------------
-        panel, perm_l, piv_l, u_all, info_b = _factor_block_column_fused(
-            panel, off, r, policy
+        panel, pos_l, perm_l, piv_l, u_all, info_b = (
+            _factor_block_column_fused(panel, off, r, policy)
         )
         info = jnp.where((info == 0) & (info_b > 0), info_b + off, info)
         ipiv = ipiv.at[off : off + b].set(piv_l + 1)
