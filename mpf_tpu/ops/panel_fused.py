@@ -359,7 +359,13 @@ def _build_rows_gather(n: int, w: int, nr: int, dtype_name: str,
         ),
         out_shape=jax.ShapeDtypeStruct((nr, w), dt),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int((8 * g + 8) * w * dt.itemsize + (16 << 20)),
+            # ring + batch + row-select temporaries (pad generously: Mosaic's
+            # scoped-stack accounting ran ~2 MB past the tight bound at
+            # n=65536 bf16)
+            vmem_limit_bytes=int(min(
+                (8 * g + 8) * w * dt.itemsize + 8 * w * 4 + (24 << 20),
+                120 << 20,
+            )),
         ),
         interpret=interpret,
     )

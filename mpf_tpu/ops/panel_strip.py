@@ -87,7 +87,6 @@ def _strip_pivot_kernel(
     pivlanes = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
     wlanes = jax.lax.broadcasted_iota(jnp.int32, (1, _W), 1)
     wrows = jax.lax.broadcasted_iota(jnp.int32, (_W, 1), 0)
-    mrows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
 
     # The per-column search/bookkeeping chain runs on (8, m/8) PACKED views:
     # (1, m) vectors occupy one sublane of each vreg (1/8 VPU efficiency),
@@ -172,12 +171,23 @@ def _strip_pivot_kernel(
         t_ref[pl.ds(s0, _W), :] = st.astype(dt)
 
         # ---- deferred rank-W update of all future strips (MXU) ------------
+        # The pivot-lane selector is built TRANSPOSED, (W, m): an (m, W)
+        # one-hot pads its lane dim to 128 (i.e. 16x the memory — 33 MB of
+        # kernel stack at m=65536), so the extractions contract lane-vs-lane
+        # (A @ B^T form, native on the MXU).
         mq = mbuf.astype(dt)
-        sel = (mrows == olist).astype(dt)                      # (m, W) one-hot
+        selT = (jnp.swapaxes(olist, 0, 1) == lanes).astype(dt)  # (W, m)
         hi = jax.lax.Precision.HIGHEST if dt == f32 else None
+        dnums = (((1,), (1,)), ((), ()))  # contract lanes of both operands
+
+        def sel_extract(x):
+            return jax.lax.dot_general(
+                x, selT, dnums, preferred_element_type=f32, precision=hi
+            )
+
         # N[j', j] = M[j', o_j]; strictly upper by construction (mult of
         # column j' is zero at pivot lanes o_j, j <= j')
-        nmat = jnp.dot(mq, sel, preferred_element_type=f32, precision=hi)
+        nmat = sel_extract(mq)
         # Vinv = (I + N)^{-1} via the Neumann series (N nilpotent)
         eye = (wrows == wlanes).astype(f32)
         vinv = eye - nmat
@@ -189,8 +199,8 @@ def _strip_pivot_kernel(
         def upd_body(s2, _):
             so = pl.multiple_of(s2 * _W, _W)
             tk = t_ref[pl.ds(so, _W), :]                       # (W, m)
-            tp = jnp.dot(tk, sel, preferred_element_type=f32, precision=hi)
-            u = jnp.dot(tp, vinv, preferred_element_type=f32)  # (W, W)
+            u = jnp.dot(sel_extract(tk), vinv,
+                        preferred_element_type=f32)            # (W, W)
             upd = jnp.dot(u.astype(dt), mq, preferred_element_type=f32,
                           precision=hi)
             t_ref[pl.ds(so, _W), :] = (tk.astype(f32) - upd).astype(dt)
@@ -258,10 +268,11 @@ def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
         compiler_params=pltpu.CompilerParams(
             # transposed panel + chunk ring + the (1|8, m) search/multiplier
             # temporaries (pos/perm/st/mbuf/sel and their compare masks)
-            vmem_limit_bytes=int(
+            vmem_limit_bytes=int(min(
                 m * r * panel_dtype.itemsize + 2 * ch * r * in_dtype.itemsize
-                + 48 * m + (40 << 20)
-            ),
+                + 128 * m + (48 << 20),
+                120 << 20,
+            )),
         ),
         interpret=interpret,
     )
