@@ -257,26 +257,36 @@ def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy):
     permc = rows_g
     panel = gather_panel(aloc, 0)
 
+    from mpf_tpu.models.mpf import _pad_quantum
+
     for k in range(nb):
         off = k * b
         qk, pk = k % gq, k % gp
         jl, il = k // gq, k // gp
 
-        # -- replicated fused block-column factorization -------------------
-        panel, pos_l, perm_l, piv_l, u_all, info_b = (
-            _factor_block_column_fused(panel, off, r, policy)
+        # -- replicated fused block-column factorization on the shrinking
+        # tail window (rows above k0 can neither pivot nor update — same
+        # quantized windowing as the single-chip driver) -------------------
+        q = _pad_quantum(n)
+        m = min(n, -((off - n) // q) * q)
+        k0 = n - m
+        sub = panel[k0:, :]
+        sub, pos_l, perm_l, piv_l, u_all, info_b = (
+            _factor_block_column_fused(sub, off - k0, r, policy)
         )
+        panel = panel.at[k0:, :].set(sub)
         info = jnp.where((info == 0) & (info_b > 0), info_b + off, info)
-        ipiv = ipiv.at[off : off + b].set(piv_l + 1)
+        ipiv = ipiv.at[off : off + b].set(k0 + piv_l + 1)
 
         # bounded exchange on the replicated panel (virtual -> physical),
         # then overwrite the pivot rows with their finished values
-        dests = off + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
-        cand = jnp.concatenate([dests, piv_l])
-        src_g = jnp.take(perm_l, cand)
+        dests = (off - k0) + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
+        cand = k0 + jnp.concatenate([dests, piv_l])
+        src_g = k0 + jnp.take(perm_l, jnp.concatenate([dests, piv_l]))
         panel = panel.at[cand, :].set(jnp.take(panel, src_g, axis=0))
         panel = jax.lax.dynamic_update_slice(panel, u_all, (off, 0))
-        permc = jnp.take(permc, perm_l)
+        permc = permc.at[k0:].set(jnp.take(permc, k0 + perm_l))
+        piv_l = k0 + piv_l
 
         # -- cross-chip bounded row exchange on the local tiles ------------
         owner_s, lrow_s = owner_local_row(src_g, b, gp)

@@ -84,11 +84,15 @@ def test_dist_fused_matches_jnp_path(monkeypatch):
     from mpf_tpu.parallel.dist_lu import make_dist_lu, _dist_fused_ok
     from mpf_tpu.parallel.block_cyclic import to_block_cyclic
 
+    import mpf_tpu.models.mpf as M
+
     n, b, r = 256, 128, 8
     mesh = make_mesh((2, 2), devices=jax.devices()[:4])
     a = matgen.hpl_ai_matrix(n, seed=13)
     tiles = to_block_cyclic(jnp.asarray(a), 2, 2, b)
 
+    monkeypatch.setattr(M, "_PAD_QUANTUM", 128)  # exercise tail windows
+    monkeypatch.setattr(M, "_FUSED_RB", 128)
     monkeypatch.setattr(cfg, "_USE_PALLAS", "1")
     assert _dist_fused_ok(n, b, r, MPF_BF16, True)
     with pltpu.force_tpu_interpret_mode():
