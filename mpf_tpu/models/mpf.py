@@ -261,8 +261,9 @@ def _factor_block_column_fused(slab, diag0, r, policy):
     pivot round-trip + LASWP launch per panel in the reference,
     `MPF.cu:145-162`).
 
-    Returns (slab', pos (m,), perm (m,), piv (bc,) local positions,
-    u_all (bc, bc), info local)."""
+    Returns (slab', pos (m,), olog (bc,) — the original row landing at each
+    diagonal position, piv (bc,) local positions, u_all (bc, bc),
+    info local)."""
     from mpf_tpu.ops.panel_strip import strip_panel_pivots
     from mpf_tpu.ops.panel_fused import (
         rowblock_assemble,
@@ -282,17 +283,17 @@ def _factor_block_column_fused(slab, diag0, r, policy):
     # dynamic-slice/DUS overhead alone.  Kernel instances are shape-keyed
     # and shared across panels (offsets arrive as runtime scalars).
     pos = _iota(m)
-    perm = _iota(m)
     info = jnp.int32(0)
     pivs = []
+    ologs = []
     rowblocks = []
     for t in range(bc // r):
         jj0 = t * r
         j0 = diag0 + jj0
         # the pivot kernel reads its panel straight out of the slab in HBM
         # (lane offset jj0) — no (m, r) panel slice is ever materialized
-        piv, pos, perm, glist = strip_panel_pivots(
-            slab, j0, pos, perm, panel_dtype=policy.panel, jj0=jj0, r=r
+        piv, pos, glist = strip_panel_pivots(
+            slab, j0, pos, panel_dtype=policy.panel, jj0=jj0, r=r
         )
         rowblock, uinv, info_k = rowblock_assemble(slab, glist, jj0)
         info = jnp.where((info == 0) & (info_k > 0), info_k + jj0, info)
@@ -300,12 +301,14 @@ def _factor_block_column_fused(slab, diag0, r, policy):
             slab, pos, rowblock, uinv, j0, jj0, rb=rb, gemm_bf16=gemm_bf16
         )
         pivs.append(piv)
+        ologs.append(glist)
         rowblocks.append(rowblock)
     piv_all = pivs[0] if len(pivs) == 1 else jnp.concatenate(pivs)
+    olog_all = ologs[0] if len(ologs) == 1 else jnp.concatenate(ologs)
     u_all = (
         rowblocks[0] if len(rowblocks) == 1 else jnp.concatenate(rowblocks)
     )
-    return slab, pos, perm, piv_all, u_all, info
+    return slab, pos, olog_all, piv_all, u_all, info
 
 
 def _factor_block_column(slab, kk, r, policy, pivot, panel_kernel):
@@ -383,7 +386,7 @@ def mpf_factorize_traced(
             m = min(n, -((k - n) // q) * q)
             k0 = n - m  # rows above k0 can neither pivot nor update
             sub = a[k0:, k : k + bc]
-            sub, pos_l, perm_l, piv_l, u_all, info_b = (
+            sub, pos_l, olog_l, piv_l, u_all, info_b = (
                 _factor_block_column_fused(sub, k - k0, r, policy)
             )
             if not config.ablate("slabio"):
@@ -401,21 +404,42 @@ def mpf_factorize_traced(
             # its values come from a contiguous slice and only a bounded
             # scatter (cheap, in-place) is needed.
             band_idx = (k - k0) + _iota(bc)
+            dests_b = k0 + jnp.take(pos_l, band_idx)  # band rows' new positions
             if not config.ablate("exchange"):
-                glist_b = k0 + jnp.take(perm_l, band_idx)  # pivot-row sources
+                glist_b = k0 + olog_l  # pivot-row sources (original rows)
                 if config.use_pallas() and jax.default_backend() == "tpu":
-                    from mpf_tpu.ops.panel_fused import rows_gather
+                    from mpf_tpu.ops.panel_fused import (
+                        rows_gather,
+                        rows_scatter_inplace,
+                    )
 
                     pivrows = rows_gather(a, glist_b)
+                    band = a[k : k + bc, :]
+                    a = jax.lax.dynamic_update_slice(a, pivrows, (k, 0))
+                    # XLA lowers row scatter as a full-buffer rewrite
+                    # (2x the whole matrix per block column); the RMW
+                    # kernel touches only the destination granule windows,
+                    # skipping those whose rows did not actually move
+                    a = rows_scatter_inplace(
+                        a, dests_b, band, self_src=k0 + band_idx
+                    )
                 else:
-                    pivrows = jnp.take(a, glist_b, axis=0)
-                dests_b = k0 + jnp.take(pos_l, band_idx)   # band rows' new pos
-                a = a.at[dests_b, :].set(a[k : k + bc, :])
-                a = jax.lax.dynamic_update_slice(a, pivrows, (k, 0))
+                    pivrows = jax.lax.optimization_barrier(
+                        jnp.take(a, glist_b, axis=0)
+                    )
+                    band = jax.lax.optimization_barrier(a[k : k + bc, :])
+                    a = jax.lax.dynamic_update_slice(a, pivrows, (k, 0))
+                    a = a.at[dests_b, :].set(band)
             # the finished diagonal/U12 rows of the block column
             a = jax.lax.dynamic_update_slice(a, u_all, (k, k))
-            perm_total = perm_total.at[k0:].set(
-                jnp.take(perm_total, k0 + perm_l)
+            # compose this block's row map boundedly: only the band and the
+            # displaced destinations change
+            pt_old = perm_total
+            perm_total = perm_total.at[k + _iota(bc)].set(
+                jnp.take(pt_old, k0 + olog_l)
+            )
+            perm_total = perm_total.at[dests_b].set(
+                jnp.take(pt_old, k0 + band_idx)
             )
             lu11 = u_all
         else:

@@ -381,6 +381,146 @@ def rows_gather(a, rows, interpret=False):
     )
 
 
+def _rows_scatter_kernel(ds_ref, need_ref, a_in_ref, vals_ref, a_ref,
+                         wbuf, vtile, sems, *, nr: int, g: int):
+    """In-place scatter of ``nr`` rows into the (n, w) HBM matrix:
+    a[ds[i], :] = vals[i, :] with ``ds`` SORTED ascending (the caller sorts
+    and permutes vals into dest order, so the values stream sequentially).
+    XLA lowers row scatter as a full-buffer rewrite (~2x the whole matrix
+    per call — 11 ms per block column at n=32768); this kernel RMWs only
+    the granule-aligned windows that actually contain destinations, and
+    skips windows whose rows are all self-moves (``need[i]``==0 — on
+    diagonally-dominant matrices pivots rarely move, so the exchange cost
+    scales with ACTUAL row movement)."""
+    f32 = jnp.float32
+    grows = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+    vrows = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    def win_read(gr):
+        return pltpu.make_async_copy(
+            a_in_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), :], wbuf,
+            sems.at[0],
+        )
+
+    def win_write(gr):
+        return pltpu.make_async_copy(
+            wbuf, a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), :], sems.at[1]
+        )
+
+    def vt_read(t):
+        return pltpu.make_async_copy(vals_ref.at[t], vtile, sems.at[2])
+
+    vt_read(0).start()
+    vt_read(0).wait()
+
+    def body(i, carry):
+        last_gr, have = carry
+        # new values tile every 8 rows (vals stream in dest order)
+        @pl.when((i % 8 == 0) & (i > 0))
+        def _():
+            vt_read(i // 8).start()
+            vt_read(i // 8).wait()
+
+        gr = ds_ref[i] // g
+        nd = need_ref[i] != 0
+        switch = nd & ((gr != last_gr) | (have == 0))
+
+        @pl.when(switch & (have == 1))
+        def _():
+            win_write(last_gr).start()
+            win_write(last_gr).wait()
+
+        @pl.when(switch)
+        def _():
+            win_read(gr).start()
+            win_read(gr).wait()
+
+        @pl.when(nd)
+        def _():
+            vrow = jnp.sum(
+                jnp.where(vrows == i % 8, vtile[:].astype(f32), 0.0),
+                axis=0, keepdims=True,
+            ).astype(wbuf.dtype)
+            wbuf[:] = jnp.where(grows == ds_ref[i] % g, vrow, wbuf[:])
+
+        last_gr = jnp.where(switch, gr, last_gr)
+        have = jnp.where(switch, jnp.int32(1), have)
+        return last_gr, have
+
+    last_gr, have = jax.lax.fori_loop(
+        0, nr, body, (jnp.int32(-1), jnp.int32(0))
+    )
+
+    @pl.when(have == 1)
+    def _():
+        win_write(last_gr).start()
+        win_write(last_gr).wait()
+
+
+@functools.lru_cache(maxsize=64)
+def _build_rows_scatter(n: int, w: int, nr: int, dtype_name: str,
+                        interpret: bool = False):
+    dt = jnp.dtype(dtype_name)
+    g = _granule(dt)
+    assert nr % 8 == 0, nr
+    kernel = functools.partial(_rows_scatter_kernel, nr=nr, g=g)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # ds (nr,) sorted, need (nr,)
+            grid=(),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # a (n, w) HBM (aliased)
+                pl.BlockSpec(memory_space=pltpu.ANY),  # vals (nr/8, 8, w) HBM
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((g, w), dt),      # granule window
+                pltpu.VMEM((8, w), dt),      # values tile
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, w), dt),
+        input_output_aliases={2: 0},  # a (after the 2 scalar-prefetch args)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(
+                (g + 8) * w * dt.itemsize + 8 * w * 4 + (24 << 20), 120 << 20
+            )),
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )
+
+
+def rows_scatter_inplace(a, dests, vals, self_src=None, interpret=False):
+    """In-place bounded row scatter: a[dests[i], :] = vals[i, :].
+    ``dests`` must be UNIQUE (a permutation's image — the exchange
+    guarantees it); they are sorted here and the values permuted to match,
+    so the kernel streams windows in ascending address order.
+
+    ``self_src`` (optional, same shape as dests): the CURRENT physical row
+    of each value — rows with dests[i] == self_src[i] are no-ops, and
+    granule windows consisting only of no-ops are skipped entirely (the
+    common case on diagonally dominant matrices, where pivots rarely
+    move)."""
+    n, w = a.shape
+    g = _granule(a.dtype)
+    nr = int(dests.shape[0])
+    order = jnp.argsort(dests)
+    ds = jnp.take(dests, order).astype(jnp.int32)
+    vs = jnp.take(vals, order, axis=0).reshape(nr // 8, 8, w)
+    if self_src is None:
+        need = jnp.ones((nr,), jnp.int32)
+    else:
+        nonself = (dests != self_src).astype(jnp.int32)
+        # window needed iff ANY of its destinations is a real move
+        wneed = jnp.zeros((n // g,), jnp.int32).at[dests // g].max(nonself)
+        need = jnp.take(wneed, ds // g)
+    return _build_rows_scatter(n, w, nr, a.dtype.name, interpret)(
+        ds, need, a, vs
+    )
+
+
 def _apply_update_trim_kernel(
     meta_ref, slab_ref, pos_ref, rowblock_ref, uinv_ref, out_ref, l21_scr,
     *, r: int, rb: int, gemm_bf16: bool,

@@ -52,8 +52,8 @@ _CHUNK = 1024   # rows per transpose-load DMA chunk
 
 
 def _strip_pivot_kernel(
-    meta_ref, panel_ref, pos_in_ref, perm_in_ref,
-    piv_ref, pos_ref, perm_ref, glist_ref,
+    meta_ref, panel_ref, pos_in_ref,
+    piv_ref, pos_ref, glist_ref,
     t_ref, chunk_ref, sem,
     *, r: int, m: int, nchunk: int, ch: int, allow_packed: bool = False,
 ):
@@ -106,8 +106,13 @@ def _strip_pivot_kernel(
 
     lanes3 = pk(lanes)
     pos = pk(pos_in_ref[:])
-    perm = pk(perm_in_ref[:])
     piv = pivlanes + off
+    # olog[j] = the ORIGINAL ROW chosen as column j's pivot.  Position
+    # off+j is final once column j completes (later swaps only touch
+    # positions > off+j), so olog IS the glist the fused second stage
+    # gathers — no full position->row map is maintained at all (the driver
+    # composes its global row map boundedly from olog + pos).
+    olog = pivlanes + off
     nstrips = r // _W
 
     # Strips run under a fori_loop (small carry: pos/perm/piv only — the
@@ -117,14 +122,14 @@ def _strip_pivot_kernel(
     # code per kernel instance and pushed the n=32768 driver program past
     # the 2 GB executable-serialization limit.
     def strip_body(s, carry0):
-        pos, perm, piv = carry0
+        pos, piv, olog = carry0
         s0 = pl.multiple_of(s * _W, _W)
         st = t_ref[pl.ds(s0, _W), :].astype(f32)     # active strip, fp32
         mbuf = jnp.zeros((_W, m), f32)               # multiplier rows
         olist = jnp.zeros((1, _W), jnp.int32)        # pivot lanes o_j
 
         def col_body(jc, carry):
-            st, mbuf, olist, pos, perm, piv = carry
+            st, mbuf, olist, pos, piv, olog = carry
             d = off + s0 + jc
             # current column values: one (W, m) masked reduce, then packed
             colv = jnp.sum(
@@ -141,11 +146,12 @@ def _strip_pivot_kernel(
             ).reshape(1, 1)
             o1 = jnp.sum(jnp.where(pos == cp, lanes3, 0), keepdims=True
                          ).reshape(1, 1)
-            o2 = jnp.sum(jnp.where(pos == d, lanes3, 0), keepdims=True
-                         ).reshape(1, 1)
-            pos = jnp.where(lanes3 == o1, d, jnp.where(lanes3 == o2, cp, pos))
-            perm = jnp.where(lanes3 == d, o1, jnp.where(lanes3 == cp, o2, perm))
+            # the lane displaced from the diagonal is identified by pos==d
+            # directly — no winner/displaced map maintenance, no o2 reduce
+            pos = jnp.where(pos == d, cp, pos)
+            pos = jnp.where(lanes3 == o1, d, pos)
             piv = jnp.where(pivlanes == s0 + jc, cp, piv)
+            olog = jnp.where(pivlanes == s0 + jc, o1, olog)
             olist = jnp.where(wlanes == jc, o1, olist)
             # multipliers (fp32; masked to rows still below the diagonal)
             pivval = jnp.sum(jnp.where(lanes3 == o1, colv3, 0.0), keepdims=True
@@ -159,15 +165,15 @@ def _strip_pivot_kernel(
                            keepdims=True)
             ucol = jnp.where(wrows > jc, ucol, 0.0)                # (W, 1)
             st = st - ucol * mult
-            return st, mbuf, olist, pos, perm, piv
+            return st, mbuf, olist, pos, piv, olog
 
         # columns unrolled: the fori carry (st + mbuf, ~2x(W,m) fp32) would
         # spill/reload through VMEM every iteration; with static jc the
         # values stay live and the masked wrows==jc selects fold to slices
-        carry = (st, mbuf, olist, pos, perm, piv)
+        carry = (st, mbuf, olist, pos, piv, olog)
         for jc in range(_W):
             carry = col_body(jc, carry)
-        st, mbuf, olist, pos, perm, piv = carry
+        st, mbuf, olist, pos, piv, olog = carry
         t_ref[pl.ds(s0, _W), :] = st.astype(dt)
 
         # ---- deferred rank-W update of all future strips (MXU) ------------
@@ -207,23 +213,15 @@ def _strip_pivot_kernel(
             return 0
 
         jax.lax.fori_loop(s + 1, nstrips, upd_body, 0)
-        return pos, perm, piv
+        return pos, piv, olog
 
-    pos, perm, piv = jax.lax.fori_loop(
-        0, nstrips, strip_body, (pos, perm, piv)
+    pos, piv, olog = jax.lax.fori_loop(
+        0, nstrips, strip_body, (pos, piv, olog)
     )
 
     piv_ref[:] = piv
     pos_ref[:] = upk(pos)
-    perm_ref[:] = upk(perm)
-
-    # glist[j] = perm[off + j]: the original rows now on the diagonal
-    def gl_body(j, gl):
-        gj = jnp.sum(jnp.where(lanes3 == off + j, perm, 0), keepdims=True
-                     ).reshape(1, 1)
-        return jnp.where(pivlanes == j, gj, gl)
-
-    glist_ref[:] = jax.lax.fori_loop(0, r, gl_body, pivlanes + off)
+    glist_ref[:] = olog  # olog[j] == final occupant of position off+j
 
 
 @functools.lru_cache(maxsize=64)
@@ -245,13 +243,11 @@ def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),   # (m, w) slab (HBM)
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # pos in (1, m)
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # perm in (1, m)
             ],
             out_specs=(
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # piv (1, r)
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # pos out (1, m)
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # perm out (1, m)
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # glist (1, r)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # glist/olog (1, r)
             ),
             scratch_shapes=[
                 pltpu.VMEM((r, m), panel_dtype),          # transposed panel
@@ -261,7 +257,6 @@ def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, r), jnp.int32),
-            jax.ShapeDtypeStruct((1, m), jnp.int32),
             jax.ShapeDtypeStruct((1, m), jnp.int32),
             jax.ShapeDtypeStruct((1, r), jnp.int32),
         ),
@@ -278,7 +273,7 @@ def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
     )
 
 
-def strip_panel_pivots(panel, off, pos, perm, panel_dtype=None, interpret=False,
+def strip_panel_pivots(panel, off, pos, panel_dtype=None, interpret=False,
                        jj0=0, r=None):
     """Strip-blocked virtual-pivoting panel LU.
 
@@ -289,22 +284,23 @@ def strip_panel_pivots(panel, off, pos, perm, panel_dtype=None, interpret=False,
     (``jj0`` must be a multiple of min(r, 128) for lane-aligned DMA; the
     default jj0=0, r=w factors the whole slab width).
     ``off``: traced int32 — the current position of the diagonal.
-    ``pos`` (m,): original row -> current position; ``perm`` (m,): current
-    position -> original row (both block-column-local, carried across the
-    panels of a block column).
+    ``pos`` (m,): original row -> current position (block-column-local,
+    carried across the panels of a block column).
 
-    Returns ``(piv, pos', perm', glist)``: 0-based pivot *positions* (r,),
-    the updated maps, and ``glist[j] = perm'[off + j]`` — the original rows
-    of the chosen pivots, in diagonal order (the fused second stage gathers
-    these rows).  The low-precision factors are discarded (reference
-    semantics, `MPF.cu:120-145`)."""
+    Returns ``(piv, pos', glist)``: 0-based pivot *positions* (r,), the
+    updated position map, and ``glist[j]`` — the original row chosen as
+    column j's pivot == the final occupant of position off+j (positions
+    <= the current diagonal never change again).  No position->row map is
+    maintained; callers compose their global row maps boundedly from
+    ``glist`` + ``pos``.  The low-precision factors are discarded
+    (reference semantics, `MPF.cu:120-145`)."""
     m, w = panel.shape
     r = w if r is None else r
     panel_dtype = jnp.dtype(panel_dtype or panel.dtype)
     meta = jnp.stack(
         [jnp.asarray(off, jnp.int32), jnp.asarray(jj0, jnp.int32)]
     )
-    piv, pos2, perm2, glist = _build_strip_pivot(
+    piv, pos2, glist = _build_strip_pivot(
         m, w, r, panel.dtype.name, panel_dtype.name, interpret
-    )(meta, panel, pos.reshape(1, m), perm.reshape(1, m))
-    return piv[0], pos2[0], perm2[0], glist[0]
+    )(meta, panel, pos.reshape(1, m))
+    return piv[0], pos2[0], glist[0]

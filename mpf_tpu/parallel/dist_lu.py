@@ -271,7 +271,7 @@ def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy):
         m = min(n, -((off - n) // q) * q)
         k0 = n - m
         sub = panel[k0:, :]
-        sub, pos_l, perm_l, piv_l, u_all, info_b = (
+        sub, pos_l, olog_l, piv_l, u_all, info_b = (
             _factor_block_column_fused(sub, off - k0, r, policy)
         )
         panel = panel.at[k0:, :].set(sub)
@@ -279,13 +279,21 @@ def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy):
         ipiv = ipiv.at[off : off + b].set(k0 + piv_l + 1)
 
         # bounded exchange on the replicated panel (virtual -> physical),
-        # then overwrite the pivot rows with their finished values
-        dests = (off - k0) + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
-        cand = k0 + jnp.concatenate([dests, piv_l])
-        src_g = k0 + jnp.take(perm_l, jnp.concatenate([dests, piv_l]))
-        panel = panel.at[cand, :].set(jnp.take(panel, src_g, axis=0))
+        # composed-map structure: the band receives the pivot rows (olog),
+        # the displaced band occupants go to their final positions (pos)
+        band_idx = (off - k0) + jax.lax.broadcasted_iota(
+            jnp.int32, (b, 1), 0
+        )[:, 0]
+        dests_b = k0 + jnp.take(pos_l, band_idx)
+        cand = jnp.concatenate([k0 + band_idx, dests_b])
+        src_g = jnp.concatenate([k0 + olog_l, k0 + band_idx])
+        moved = jax.lax.optimization_barrier(jnp.take(panel, src_g, axis=0))
+        panel = panel.at[cand, :].set(moved)
         panel = jax.lax.dynamic_update_slice(panel, u_all, (off, 0))
-        permc = permc.at[k0:].set(jnp.take(permc, k0 + perm_l))
+        pc_old = permc
+        permc = permc.at[off + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
+                         ].set(jnp.take(pc_old, k0 + olog_l))
+        permc = permc.at[dests_b].set(jnp.take(pc_old, k0 + band_idx))
         piv_l = k0 + piv_l
 
         # -- cross-chip bounded row exchange on the local tiles ------------

@@ -37,15 +37,18 @@ def test_strip_pivots_exact_match_vs_reference():
     for off in (0, 8, 40):
         a = _dyadic(rng, 128, 16)
         pos0 = jnp.arange(128, dtype=jnp.int32)
-        piv, pos, perm, glist = strip_panel_pivots(
-            jnp.asarray(a), off, pos0, pos0, panel_dtype=jnp.float32,
+        piv, pos, glist = strip_panel_pivots(
+            jnp.asarray(a), off, pos0, panel_dtype=jnp.float32,
             interpret=True,
         )
         piv_ref, perm_ref = panel_pivots_perm(jnp.asarray(a), row_offset=off)
         np.testing.assert_array_equal(np.asarray(piv), np.asarray(piv_ref))
-        np.testing.assert_array_equal(np.asarray(perm), np.asarray(perm_ref))
+        # pos is the inverse of the reference's composed row map
+        inv = np.empty(128, np.int64)
+        inv[np.asarray(perm_ref)] = np.arange(128)
+        np.testing.assert_array_equal(np.asarray(pos), inv)
         np.testing.assert_array_equal(
-            np.asarray(glist), np.asarray(perm)[off : off + 16]
+            np.asarray(glist), np.asarray(perm_ref)[off : off + 16]
         )
 
 
@@ -56,20 +59,18 @@ def test_strip_pivots_packed_path_matches_reference():
     m, r, off = 1024, 16, 24
     a = _dyadic(rng, m, r)
     pos0 = jnp.arange(m, dtype=jnp.int32)
-    piv, pos, perm, glist = strip_panel_pivots(
-        jnp.asarray(a), off, pos0, pos0, panel_dtype=jnp.float32,
+    piv, pos, glist = strip_panel_pivots(
+        jnp.asarray(a), off, pos0, panel_dtype=jnp.float32,
         interpret=True,
     )
     piv_ref, perm_ref = panel_pivots_perm(jnp.asarray(a), row_offset=off)
     np.testing.assert_array_equal(np.asarray(piv), np.asarray(piv_ref))
-    np.testing.assert_array_equal(np.asarray(perm), np.asarray(perm_ref))
     np.testing.assert_array_equal(
-        np.asarray(glist), np.asarray(perm)[off : off + r]
+        np.asarray(glist), np.asarray(perm_ref)[off : off + r]
     )
-    pos_n = np.asarray(pos)
     inv = np.empty(m, np.int64)
-    inv[np.asarray(perm)] = np.arange(m)
-    np.testing.assert_array_equal(pos_n, inv)
+    inv[np.asarray(perm_ref)] = np.arange(m)
+    np.testing.assert_array_equal(np.asarray(pos), inv)
 
 
 def test_strip_pivots_invariants_bf16():
@@ -77,15 +78,15 @@ def test_strip_pivots_invariants_bf16():
     m, r, off = 256, 32, 16
     a = rng.standard_normal((m, r)).astype(np.float32)
     pos0 = jnp.arange(m, dtype=jnp.int32)
-    piv, pos, perm, glist = strip_panel_pivots(
-        jnp.asarray(a), off, pos0, pos0, panel_dtype=jnp.bfloat16, interpret=True
+    piv, pos, glist = strip_panel_pivots(
+        jnp.asarray(a), off, pos0, panel_dtype=jnp.bfloat16, interpret=True
     )
-    piv, pos, perm = np.asarray(piv), np.asarray(pos), np.asarray(perm)
-    assert np.array_equal(np.sort(perm), np.arange(m))  # permutation
-    inv = np.empty(m, np.int64)
-    inv[perm] = np.arange(m)
-    assert np.array_equal(pos, inv)  # pos is the inverse map
+    piv, pos, glist = np.asarray(piv), np.asarray(pos), np.asarray(glist)
+    assert np.array_equal(np.sort(pos), np.arange(m))  # pos is a permutation
+    perm = np.empty(m, np.int64)
+    perm[pos] = np.arange(m)  # invert: position -> original row
     assert (piv >= off).all() and (piv < m).all()
+    np.testing.assert_array_equal(glist, perm[off : off + r])
     # frozen rows (initial position < off) never chosen
     assert np.array_equal(perm[:off], np.arange(off))
 
