@@ -488,12 +488,29 @@ def mpf_factorize_traced(
             # trailing update at true (static) sizes — the O(n^3) hot GEMM
             l21 = a[k + bc :, k : k + bc].astype(policy.gemm_in)
             u12c = u12.astype(policy.gemm_in)
-            upd = jnp.dot(
-                l21, u12c, preferred_element_type=policy.accum,
-                precision=_mm_precision(l21),
-            )
-            a22 = (a[k + bc :, k + bc :].astype(policy.accum) - upd).astype(a.dtype)
-            a = a.at[k + bc :, k + bc :].set(a22)
+            mtr = n - k - bc
+            if (
+                config.use_pallas()
+                and jax.default_backend() == "tpu"
+                and mtr % 1024 == 0
+                and (k + bc) % 1024 == 0
+                and jnp.dtype(a.dtype) in (jnp.float32, jnp.bfloat16)
+            ):
+                # subtract fused into the GEMM epilogue, aliased in place
+                # (XLA materializes the (m, m) product before subtracting —
+                # an extra full HBM round-trip of the trailing matrix)
+                from mpf_tpu.ops.panel_fused import trailing_gemm_sub
+
+                a = trailing_gemm_sub(a, l21, u12c, k + bc)
+            else:
+                upd = jnp.dot(
+                    l21, u12c, preferred_element_type=policy.accum,
+                    precision=_mm_precision(l21),
+                )
+                a22 = (
+                    a[k + bc :, k + bc :].astype(policy.accum) - upd
+                ).astype(a.dtype)
+                a = a.at[k + bc :, k + bc :].set(a22)
 
     return MPFResult(lu=a, ipiv=ipiv, info=info, perm=perm_total)
 

@@ -296,14 +296,18 @@ def _build_apply_update(m: int, bc: int, r: int, rb: int, dtype_name: str,
     )
 
 
-def _rows_gather_kernel(rows_ref, a_ref, out_ref, gbuf_ref, batch_ref, sems,
-                        *, nr: int, g: int):
+def _rows_gather_kernel(rows_ref, first_ref, slot_ref, a_ref, out_ref,
+                        gbuf_ref, batch_ref, sems, *, nr: int, g: int):
     """Gather ``nr`` arbitrary rows of the (n, w) HBM matrix into a dense
     (nr, w) HBM output: granule-aligned window DMAs (single-row slices of a
     tiled 2D HBM ref are rejected by Mosaic) + in-VMEM row select, staged
-    out in aligned 8-row batches.  ~2x XLA's row-gather rate at fp32 (XLA
-    runs row gathers at ~45 GB/s on this target; the 8-row window
-    amplification still nets ~100 GB/s effective)."""
+    out in aligned 8-row batches.
+
+    Consecutive rows from the same granule REUSE the previous window — the
+    caller precomputes ``first`` (1 iff row i's granule differs from row
+    i-1's) and ``slot`` (running count of distinct granules, mod 8), so on
+    runs of adjacent source rows (diagonally dominant matrices: pivot rows
+    ARE the band) the 8x window amplification disappears entirely."""
     f32 = jnp.float32
     grows = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
 
@@ -312,18 +316,28 @@ def _rows_gather_kernel(rows_ref, a_ref, out_ref, gbuf_ref, batch_ref, sems,
         for jb in range(8):
             row = rows_ref[j0 + jb]
             gs = pl.multiple_of((row // g) * g, g)
-            pltpu.make_async_copy(
-                a_ref.at[pl.ds(gs, g), :], gbuf_ref.at[jb], sems.at[jb]
-            ).start()
+
+            @pl.when(first_ref[j0 + jb] != 0)
+            def _():
+                s = slot_ref[j0 + jb]
+                pltpu.make_async_copy(
+                    a_ref.at[pl.ds(gs, g), :], gbuf_ref.at[s], sems.at[s]
+                ).start()
+
         rows8 = []
         for jb in range(8):
             row = rows_ref[j0 + jb]
-            pltpu.make_async_copy(
-                a_ref.at[pl.ds(pl.multiple_of((row // g) * g, g), g), :],
-                gbuf_ref.at[jb], sems.at[jb],
-            ).wait()
+            s = slot_ref[j0 + jb]
+
+            @pl.when(first_ref[j0 + jb] != 0)
+            def _():
+                pltpu.make_async_copy(
+                    a_ref.at[pl.ds(pl.multiple_of((row // g) * g, g), g), :],
+                    gbuf_ref.at[s], sems.at[s],
+                ).wait()
+
             rows8.append(jnp.sum(
-                jnp.where(grows == row % g, gbuf_ref[jb].astype(f32), 0.0),
+                jnp.where(grows == row % g, gbuf_ref[s].astype(f32), 0.0),
                 axis=0, keepdims=True,
             ))
         batch_ref[:] = jnp.concatenate(rows8, axis=0).astype(batch_ref.dtype)
@@ -347,7 +361,7 @@ def _build_rows_gather(n: int, w: int, nr: int, dtype_name: str,
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # rows (nr,)
+            num_scalar_prefetch=3,  # rows (nr,), first (nr,), slot (nr,)
             grid=(),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # a (n, w) HBM
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),   # out (nr, w) HBM
@@ -376,12 +390,19 @@ def rows_gather(a, rows, interpret=False):
     (n, w) matrix -> (len(rows), w)."""
     n, w = a.shape
     nr = int(rows.shape[0])
+    g = _granule(a.dtype)
+    rows = rows.astype(jnp.int32)
+    gr = rows // g
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (gr[1:] != gr[:-1]).astype(jnp.int32)]
+    )
+    slot = (jnp.cumsum(first) - 1) % 8
     return _build_rows_gather(n, w, nr, a.dtype.name, interpret)(
-        rows.astype(jnp.int32), a
+        rows, first, slot.astype(jnp.int32), a
     )
 
 
-def _rows_scatter_kernel(ds_ref, need_ref, a_in_ref, vals_ref, a_ref,
+def _rows_scatter_kernel(ds_ref, need_ref, act_ref, a_in_ref, vals_ref, a_ref,
                          wbuf, vtile, sems, *, nr: int, g: int):
     """In-place scatter of ``nr`` rows into the (n, w) HBM matrix:
     a[ds[i], :] = vals[i, :] with ``ds`` SORTED ascending (the caller sorts
@@ -435,7 +456,7 @@ def _rows_scatter_kernel(ds_ref, need_ref, a_in_ref, vals_ref, a_ref,
             win_read(gr).start()
             win_read(gr).wait()
 
-        @pl.when(nd)
+        @pl.when(nd & (act_ref[i] != 0))
         def _():
             vrow = jnp.sum(
                 jnp.where(vrows == i % 8, vtile[:].astype(f32), 0.0),
@@ -467,7 +488,7 @@ def _build_rows_scatter(n: int, w: int, nr: int, dtype_name: str,
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # ds (nr,) sorted, need (nr,)
+            num_scalar_prefetch=3,  # ds (nr,) sorted, need (nr,), act (nr,)
             grid=(),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),  # a (n, w) HBM (aliased)
@@ -481,7 +502,7 @@ def _build_rows_scatter(n: int, w: int, nr: int, dtype_name: str,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n, w), dt),
-        input_output_aliases={2: 0},  # a (after the 2 scalar-prefetch args)
+        input_output_aliases={3: 0},  # a (after the 3 scalar-prefetch args)
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(min(
                 (g + 8) * w * dt.itemsize + 8 * w * 4 + (24 << 20), 120 << 20
@@ -492,33 +513,101 @@ def _build_rows_scatter(n: int, w: int, nr: int, dtype_name: str,
     )
 
 
-def rows_scatter_inplace(a, dests, vals, self_src=None, interpret=False):
+def rows_scatter_inplace(a, dests, vals, self_src=None, active=None,
+                         interpret=False):
     """In-place bounded row scatter: a[dests[i], :] = vals[i, :].
-    ``dests`` must be UNIQUE (a permutation's image — the exchange
-    guarantees it); they are sorted here and the values permuted to match,
-    so the kernel streams windows in ascending address order.
+    ``dests`` must be UNIQUE among active rows (a permutation's image — the
+    exchange guarantees it); they are sorted here and the values permuted
+    to match, so the kernel streams windows in ascending address order.
 
-    ``self_src`` (optional, same shape as dests): the CURRENT physical row
-    of each value — rows with dests[i] == self_src[i] are no-ops, and
-    granule windows consisting only of no-ops are skipped entirely (the
-    common case on diagonally dominant matrices, where pivots rarely
-    move)."""
+    ``self_src`` (optional): the CURRENT physical row of each value — rows
+    with dests[i] == self_src[i] are no-ops, and granule windows consisting
+    only of no-ops are skipped entirely (the common case on diagonally
+    dominant matrices, where pivots rarely move).
+
+    ``active`` (optional bool): rows with active[i]==False are dropped
+    (their dest may collide with anything — used by the distributed tiles'
+    "my rows only" exchange)."""
     n, w = a.shape
     g = _granule(a.dtype)
     nr = int(dests.shape[0])
+    act = (
+        jnp.ones((nr,), jnp.int32) if active is None
+        else active.astype(jnp.int32)
+    )
+    dests = jnp.where(act != 0, dests, 0)  # clamp dropped rows in-bounds
     order = jnp.argsort(dests)
     ds = jnp.take(dests, order).astype(jnp.int32)
     vs = jnp.take(vals, order, axis=0).reshape(nr // 8, 8, w)
+    acts = jnp.take(act, order)
     if self_src is None:
-        need = jnp.ones((nr,), jnp.int32)
+        nonself = act
     else:
-        nonself = (dests != self_src).astype(jnp.int32)
-        # window needed iff ANY of its destinations is a real move
-        wneed = jnp.zeros((n // g,), jnp.int32).at[dests // g].max(nonself)
-        need = jnp.take(wneed, ds // g)
+        nonself = ((dests != jnp.where(act != 0, self_src, 0)) & (act != 0)
+                   ).astype(jnp.int32)
+    # window needed iff ANY of its destinations is a real (active) move
+    wneed = jnp.zeros((n // g,), jnp.int32).at[dests // g].max(nonself)
+    need = jnp.take(wneed, ds // g)
     return _build_rows_scatter(n, w, nr, a.dtype.name, interpret)(
-        ds, need, a, vs
+        ds, need, acts, a, vs
     )
+
+
+def _trailing_sub_kernel(l_ref, u_ref, a_ref, out_ref, *, hi):
+    f32 = jnp.float32
+    acc = jnp.dot(l_ref[:], u_ref[:], preferred_element_type=f32,
+                  precision=hi)
+    out_ref[:] = (a_ref[:].astype(f32) - acc).astype(out_ref.dtype)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_trailing_sub(n: int, ko: int, m: int, kk: int, dtype_name: str,
+                        gemm_dtype_name: str, interpret: bool = False):
+    w = jnp.dtype(dtype_name)
+    gd = jnp.dtype(gemm_dtype_name)
+    t = 1024
+    assert m % t == 0 and ko % t == 0, (m, ko)
+    hi = jax.lax.Precision.HIGHEST if gd == jnp.float32 else None
+    kernel = functools.partial(_trailing_sub_kernel, hi=hi)
+    kb = ko // t
+    return pl.pallas_call(
+        kernel,
+        grid=(m // t, m // t),
+        in_specs=[
+            pl.BlockSpec((t, kk), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),            # L21 row tile
+            pl.BlockSpec((kk, t), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),            # U12 col tile
+            pl.BlockSpec((t, t), lambda i, j: (kb + i, kb + j),
+                         memory_space=pltpu.VMEM),            # a22 tile
+        ],
+        out_specs=pl.BlockSpec((t, t), lambda i, j: (kb + i, kb + j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n), w),
+        input_output_aliases={2: 0},  # the full matrix, in place
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                2 * t * t * max(w.itemsize, 4) + 4 * t * kk * gd.itemsize
+                + (32 << 20)
+            ),
+        ),
+        interpret=interpret,
+    )
+
+
+def trailing_gemm_sub(a, l21, u12, ko, interpret=False):
+    """In-place trailing update on the FULL matrix: a[ko:, ko:] -=
+    l21 @ u12 (fp32 accumulation), with the subtract fused into the GEMM
+    epilogue.  XLA materializes the (m, m) product before the subtract —
+    a full extra HBM round-trip of the trailing matrix per block column;
+    this kernel writes each output tile once, aliased in place.  ``ko``
+    (static) and the trailing size must be multiples of 1024."""
+    n = a.shape[0]
+    m, kk = l21.shape
+    fn = _build_trailing_sub(
+        n, int(ko), m, kk, a.dtype.name, l21.dtype.name, interpret
+    )
+    return fn(l21, u12, a)
 
 
 def _apply_update_trim_kernel(

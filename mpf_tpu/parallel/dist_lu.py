@@ -288,7 +288,14 @@ def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy):
         cand = jnp.concatenate([k0 + band_idx, dests_b])
         src_g = jnp.concatenate([k0 + olog_l, k0 + band_idx])
         moved = jax.lax.optimization_barrier(jnp.take(panel, src_g, axis=0))
-        panel = panel.at[cand, :].set(moved)
+        if config.use_pallas() and jax.default_backend() == "tpu":
+            from mpf_tpu.ops.panel_fused import rows_scatter_inplace
+
+            # in-place RMW scatter (XLA row scatter rewrites the whole
+            # panel buffer); self-moves (pivot already in place) skip
+            panel = rows_scatter_inplace(panel, cand, moved, self_src=src_g)
+        else:
+            panel = panel.at[cand, :].set(moved)
         panel = jax.lax.dynamic_update_slice(panel, u_all, (off, 0))
         pc_old = permc
         permc = permc.at[off + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
@@ -303,8 +310,17 @@ def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy):
         srows = jnp.where(mine_s[:, None], srows, jnp.zeros_like(srows))
         srows = jax.lax.psum(srows, ROW_AXIS)
         owner_c, lrow_c = owner_local_row(cand, b, gp)
-        scatter_idx = jnp.where(owner_c == pp, lrow_c, h)
-        aloc = aloc.at[scatter_idx, :].set(srows, mode="drop")
+        if config.use_pallas() and jax.default_backend() == "tpu":
+            from mpf_tpu.ops.panel_fused import rows_scatter_inplace
+
+            aloc = rows_scatter_inplace(
+                aloc, lrow_c, srows,
+                self_src=jnp.where(src_g == cand, lrow_c, -1),
+                active=owner_c == pp,
+            )
+        else:
+            scatter_idx = jnp.where(owner_c == pp, lrow_c, h)
+            aloc = aloc.at[scatter_idx, :].set(srows, mode="drop")
 
         # -- panel writeback (strided block slice, no row gather) ----------
         pmine = panel.reshape(n // (gp * b), gp, b, b)
