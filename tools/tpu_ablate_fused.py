@@ -31,12 +31,13 @@ real_b = PF.panel_apply_update
 real_bt = PF.panel_apply_update_trim
 
 
-def stub_a1(panel, off, pos, perm, panel_dtype=None, interpret=False):
-    m, r = panel.shape
+def stub_a1(panel, off, pos, panel_dtype=None, interpret=False, jj0=0, r=None):
+    m, w = panel.shape
+    r = w if r is None else r
     piv = jnp.asarray(off, jnp.int32) + jnp.arange(r, dtype=jnp.int32)
     # keep a data dependence on the panel so nothing upstream is DCE'd
     eps = (jnp.sum(panel[:1, :1].astype(jnp.float32)) * 0).astype(jnp.int32)
-    return piv + eps, pos, perm, piv
+    return piv + eps, pos, piv
 
 
 def stub_a2(slab, glist, jj0, interpret=False):
