@@ -145,6 +145,33 @@ def test_panel_apply_update_matches_manual():
     np.testing.assert_allclose(out, expect, rtol=2e-4, atol=2e-4)
 
 
+def test_trailing_gemm_sub_matches_xla():
+    """Epilogue-fused trailing update == a22 - l21 @ u12, untouched outside
+    the trailing region, for fp32 and bf16 working dtypes."""
+    from mpf_tpu.ops.panel_fused import trailing_gemm_sub
+
+    rng = np.random.default_rng(9)
+    n, ko, r = 3072, 1024, 64
+    for dt, tol in ((np.float32, 2e-4), (jnp.bfloat16, 1e-1)):
+        a = rng.standard_normal((n, n)).astype(np.float32)
+        m = n - ko
+        l21 = rng.standard_normal((m, r)).astype(np.float32)
+        u12 = rng.standard_normal((r, m)).astype(np.float32)
+        out = np.asarray(trailing_gemm_sub(
+            jnp.asarray(a, dt), jnp.asarray(l21, dt), jnp.asarray(u12, dt),
+            ko, interpret=True,
+        ), np.float32)
+        ad = np.asarray(jnp.asarray(a, dt), np.float32)
+        exp = ad.copy()
+        exp[ko:, ko:] = ad[ko:, ko:] - (
+            np.asarray(jnp.asarray(l21, dt), np.float32)
+            @ np.asarray(jnp.asarray(u12, dt), np.float32)
+        )
+        np.testing.assert_allclose(out, exp, rtol=tol, atol=tol * 8)
+        np.testing.assert_array_equal(out[:ko, :], ad[:ko, :])
+        np.testing.assert_array_equal(out[:, :ko], ad[:, :ko])
+
+
 def test_panel_apply_update_trim_matches_full():
     """The column-trimmed variant must agree with the full-slab kernel on
     every column at/right of the panel, and leave left columns untouched."""
