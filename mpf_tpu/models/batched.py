@@ -44,11 +44,12 @@ def batched_factorize(
         and jnp.dtype(policy.working) == jnp.float32
         and n % 8 == 0
         and n <= 1024
-        and any(bsz % t == 0 for t in (8, 4, 2, 1))
+        and bsz % 2 == 0  # nb_tile=1 degenerates the in-program batch
+        # vectorization the kernel is built around — odd batches fall back
     ):
         from mpf_tpu.ops.batched_pallas import batched_lu
 
-        nb = next(t for t in (8, 4, 2, 1) if bsz % t == 0)
+        nb = next(t for t in (8, 4, 2) if bsz % t == 0)
         lu, ipiv, perm, info = batched_lu(
             a.astype(policy.working), nb_tile=nb
         )

@@ -214,6 +214,8 @@ def _inner_panel_step(slab, perm, piv_all, info, kk, jj0, rp, policy, pivot, pan
 
 _PAD_QUANTUM = 4096  # row padding quantum for fused-path kernel instances
 _FUSED_RB = 512      # streaming-update row-block height
+_PAD_ALIGN = 1024    # identity-extension target for non-aligned n
+_PAD_MIN_N = 2048    # below this, the masked fallback path is fine
 
 
 def _pad_quantum(n: int) -> int:
@@ -248,6 +250,33 @@ def _fused_ok(n: int, k: int, bc: int, r: int, policy, pivot, panel_kernel) -> b
     if r * m * jnp.dtype(policy.panel).itemsize > (40 << 20):
         return False
     return True
+
+
+def _pad_target(n: int, r: int, policy, pivot, panel_kernel) -> int:
+    """Padded size that keeps non-aligned n on the fused fast path, or 0.
+
+    The reference factors any N at full speed via `min(r, N-k)` remainders
+    (`MPF.cu:100-104`); here the fused pipeline's Pallas kernels need
+    lane/granule-aligned shapes, so non-aligned n would silently fall back
+    to the order-of-magnitude-slower masked path.  Instead: factor the
+    identity-extended [[A, 0], [0, I]] at the next multiple of 1024 (every
+    fused gate — n%128, window quantum, trailing-GEMM %1024 tiling — holds
+    there) and slice the result back.  Pad rows are zero in the first n
+    columns, so they are never chosen as pivots (except for exactly-zero
+    columns, where ``info`` fires anyway), and pad columns have U12 = 0 so
+    the trailing identity block is untouched.  Worst-case flop overhead at
+    n=32769 is (33792/32769)^3 ~ 1.10x."""
+    if not (pivot and panel_kernel is None and config.use_pallas()):
+        return 0
+    if n < _PAD_MIN_N or n % (_PAD_ALIGN // 2) == 0:
+        # small n: the masked path handles remainders fine; half-aligned n:
+        # the fused gates already admit it natively
+        return 0
+    n_pad = -((-n) // _PAD_ALIGN) * _PAD_ALIGN
+    if not _fused_ok(n_pad, 0, min(_PAD_ALIGN, n_pad), r, policy, pivot,
+                     panel_kernel):
+        return 0
+    return n_pad
 
 
 def _factor_block_column_fused(slab, diag0, r, policy):
@@ -366,6 +395,25 @@ def mpf_factorize_traced(
     if a.shape != (n, n):
         raise ValueError(f"expected square matrix, got {a.shape}")
     a = a.astype(policy.working)
+
+    n_pad = _pad_target(n, r, policy, pivot, panel_kernel)
+    if n_pad:
+        apad = jnp.zeros((n_pad, n_pad), a.dtype)
+        apad = jax.lax.dynamic_update_slice(apad, a, (0, 0))
+        tail = _iota(n_pad - n) + n
+        apad = apad.at[tail, tail].set(jnp.ones((), a.dtype))
+        res = mpf_factorize_traced(
+            apad, r=r, policy=policy, pivot=pivot, block=block,
+            panel_kernel=panel_kernel,
+        )
+        return MPFResult(
+            lu=res.lu[:n, :n],
+            ipiv=res.ipiv[:n],
+            # pad columns have unit diagonals; clamp defensively anyway
+            info=jnp.where(res.info > n, 0, res.info),
+            perm=res.perm[:n] if res.perm is not None else None,
+        )
+
     if block is None:
         block = max(r, min(n, 2048))
     block = max(block, r)

@@ -516,9 +516,13 @@ def _build_rows_scatter(n: int, w: int, nr: int, dtype_name: str,
 def rows_scatter_inplace(a, dests, vals, self_src=None, active=None,
                          interpret=False):
     """In-place bounded row scatter: a[dests[i], :] = vals[i, :].
-    ``dests`` must be UNIQUE among active rows (a permutation's image — the
-    exchange guarantees it); they are sorted here and the values permuted
-    to match, so the kernel streams windows in ascending address order.
+    Among active rows, ``dests`` must be unique — OR duplicated only with
+    bitwise-identical ``vals`` (then write order is immaterial).  The fused
+    dist panel exchange relies on the relaxed form: when a pivot is chosen
+    from inside the band, position off+j appears in both halves of its
+    ``cand`` with the same row values (`parallel/dist_lu.py`).  Dests are
+    sorted here and the values permuted to match, so the kernel streams
+    windows in ascending address order.
 
     ``self_src`` (optional): the CURRENT physical row of each value — rows
     with dests[i] == self_src[i] are no-ops, and granule windows consisting

