@@ -22,6 +22,43 @@ def _as_matrix(b):
     return b, False
 
 
+# Above this size the two full-matrix triangular_solve custom calls are
+# replaced by blocked substitution: XLA's LU custom call already vmem-OOMs
+# at n=32768 on the v5e backend (BENCH_r02 tail), and its TRSM shares the
+# same monolithic lowering.  Blocked substitution reads each triangle once
+# (HBM-bound, ~n^2/2 elements per triangle) with only (nb, nb) native
+# solves on the diagonal blocks.
+_BLOCKED_SOLVE_MIN = 32768
+_SOLVE_NB = 2048
+
+
+def _blocked_substitution(lu, b, nb: int):
+    """Forward (unit-lower) then backward (upper) blocked substitution.
+    The block loop is unrolled at trace time (static shapes, n/nb <= 32
+    iterations at the headline sizes)."""
+    n = lu.shape[0]
+    y = jnp.zeros_like(b)
+    for i in range(0, n, nb):
+        rhs = b[i:i + nb]
+        if i:
+            rhs = rhs - lu[i:i + nb, :i] @ y[:i]
+        yi = jax.lax.linalg.triangular_solve(
+            lu[i:i + nb, i:i + nb], rhs, left_side=True, lower=True,
+            unit_diagonal=True,
+        )
+        y = jax.lax.dynamic_update_slice(y, yi, (i, 0))
+    x = jnp.zeros_like(b)
+    for i in range(n - nb, -1, -nb):
+        rhs = y[i:i + nb]
+        if i + nb < n:
+            rhs = rhs - lu[i:i + nb, i + nb:] @ x[i + nb:]
+        xi = jax.lax.linalg.triangular_solve(
+            lu[i:i + nb, i:i + nb], rhs, left_side=True, lower=False,
+        )
+        x = jax.lax.dynamic_update_slice(x, xi, (i, 0))
+    return x
+
+
 @jax.jit
 def getrs(
     lu: jax.Array, ipiv: jax.Array, b: jax.Array, perm: jax.Array | None = None
@@ -33,10 +70,14 @@ def getrs(
     first (O(n) scalar swaps)."""
     b, was_vec = _as_matrix(b)
     b = apply_row_swaps_vector(b, ipiv, perm)
-    y = jax.lax.linalg.triangular_solve(
-        lu, b, left_side=True, lower=True, unit_diagonal=True
-    )
-    x = jax.lax.linalg.triangular_solve(lu, y, left_side=True, lower=False)
+    n = lu.shape[0]
+    if n >= _BLOCKED_SOLVE_MIN and n % _SOLVE_NB == 0:
+        x = _blocked_substitution(lu, b, _SOLVE_NB)
+    else:
+        y = jax.lax.linalg.triangular_solve(
+            lu, b, left_side=True, lower=True, unit_diagonal=True
+        )
+        x = jax.lax.linalg.triangular_solve(lu, y, left_side=True, lower=False)
     return x[:, 0] if was_vec else x
 
 

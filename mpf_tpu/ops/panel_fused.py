@@ -417,25 +417,31 @@ def _rows_scatter_kernel(ds_ref, need_ref, act_ref, a_in_ref, vals_ref, a_ref,
     grows = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
     vrows = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
-    def win_read(gr):
+    # Windows are double-buffered (round 3): the write-back of the finished
+    # window overlaps the next window's read + row overlays, instead of the
+    # fully synchronous write.wait() -> read.wait() sequence of round 2.
+    # Invariant: a pending write (wpend==1) is always on slot 1-cur, so it
+    # is awaited exactly when that slot is about to be reused for a read.
+    def win_read(gr, slot):
         return pltpu.make_async_copy(
-            a_in_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), :], wbuf,
-            sems.at[0],
+            a_in_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), :],
+            wbuf.at[slot], sems.at[slot],
         )
 
-    def win_write(gr):
+    def win_write(gr, slot):
         return pltpu.make_async_copy(
-            wbuf, a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), :], sems.at[1]
+            wbuf.at[slot], a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), :],
+            sems.at[2 + slot],
         )
 
     def vt_read(t):
-        return pltpu.make_async_copy(vals_ref.at[t], vtile, sems.at[2])
+        return pltpu.make_async_copy(vals_ref.at[t], vtile, sems.at[4])
 
     vt_read(0).start()
     vt_read(0).wait()
 
     def body(i, carry):
-        last_gr, have = carry
+        last_gr, have, cur, wpend, wgr = carry
         # new values tile every 8 rows (vals stream in dest order)
         @pl.when((i % 8 == 0) & (i > 0))
         def _():
@@ -445,16 +451,26 @@ def _rows_scatter_kernel(ds_ref, need_ref, act_ref, a_in_ref, vals_ref, a_ref,
         gr = ds_ref[i] // g
         nd = need_ref[i] != 0
         switch = nd & ((gr != last_gr) | (have == 0))
+        nxt = jnp.where(have == 0, cur, 1 - cur)
+
+        @pl.when(switch & (wpend == 1))
+        def _():  # slot nxt's previous write must land before its reuse
+            win_write(wgr, nxt).wait()
 
         @pl.when(switch & (have == 1))
-        def _():
-            win_write(last_gr).start()
-            win_write(last_gr).wait()
+        def _():  # close the current window asynchronously
+            win_write(last_gr, cur).start()
 
         @pl.when(switch)
         def _():
-            win_read(gr).start()
-            win_read(gr).wait()
+            win_read(gr, nxt).start()
+            win_read(gr, nxt).wait()
+
+        wgr = jnp.where(switch & (have == 1), last_gr, wgr)
+        wpend = jnp.where(switch & (have == 1), jnp.int32(1), wpend)
+        cur = jnp.where(switch, nxt, cur)
+        last_gr = jnp.where(switch, gr, last_gr)
+        have = jnp.where(switch, jnp.int32(1), have)
 
         @pl.when(nd & (act_ref[i] != 0))
         def _():
@@ -462,20 +478,24 @@ def _rows_scatter_kernel(ds_ref, need_ref, act_ref, a_in_ref, vals_ref, a_ref,
                 jnp.where(vrows == i % 8, vtile[:].astype(f32), 0.0),
                 axis=0, keepdims=True,
             ).astype(wbuf.dtype)
-            wbuf[:] = jnp.where(grows == ds_ref[i] % g, vrow, wbuf[:])
+            wbuf[cur] = jnp.where(grows == ds_ref[i] % g, vrow, wbuf[cur])
 
-        last_gr = jnp.where(switch, gr, last_gr)
-        have = jnp.where(switch, jnp.int32(1), have)
-        return last_gr, have
+        return last_gr, have, cur, wpend, wgr
 
-    last_gr, have = jax.lax.fori_loop(
-        0, nr, body, (jnp.int32(-1), jnp.int32(0))
+    last_gr, have, cur, wpend, wgr = jax.lax.fori_loop(
+        0, nr, body,
+        (jnp.int32(-1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+         jnp.int32(0)),
     )
+
+    @pl.when(wpend == 1)
+    def _():
+        win_write(wgr, 1 - cur).wait()
 
     @pl.when(have == 1)
     def _():
-        win_write(last_gr).start()
-        win_write(last_gr).wait()
+        win_write(last_gr, cur).start()
+        win_write(last_gr, cur).wait()
 
 
 @functools.lru_cache(maxsize=64)
@@ -496,16 +516,17 @@ def _build_rows_scatter(n: int, w: int, nr: int, dtype_name: str,
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
-                pltpu.VMEM((g, w), dt),      # granule window
+                pltpu.VMEM((2, g, w), dt),   # granule window (double-buffered)
                 pltpu.VMEM((8, w), dt),      # values tile
-                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SemaphoreType.DMA((5,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n, w), dt),
         input_output_aliases={3: 0},  # a (after the 3 scalar-prefetch args)
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(min(
-                (g + 8) * w * dt.itemsize + 8 * w * 4 + (24 << 20), 120 << 20
+                (2 * g + 8) * w * dt.itemsize + 8 * w * 4 + (24 << 20),
+                120 << 20
             )),
             has_side_effects=True,
         ),
@@ -566,37 +587,53 @@ def _trailing_sub_kernel(l_ref, u_ref, a_ref, out_ref, *, hi):
 
 @functools.lru_cache(maxsize=256)
 def _build_trailing_sub(n: int, ko: int, m: int, kk: int, dtype_name: str,
-                        gemm_dtype_name: str, interpret: bool = False):
+                        gemm_dtype_name: str, ti: int = 1024,
+                        interpret: bool = False):
     w = jnp.dtype(dtype_name)
     gd = jnp.dtype(gemm_dtype_name)
     t = 1024
-    assert m % t == 0 and ko % t == 0, (m, ko)
+    assert m % ti == 0 and ko % ti == 0 and ti % t == 0, (m, ko, ti)
     hi = jax.lax.Precision.HIGHEST if gd == jnp.float32 else None
     kernel = functools.partial(_trailing_sub_kernel, hi=hi)
-    kb = ko // t
+    kbi = ko // ti
+    kbj = ko // t
     return pl.pallas_call(
         kernel,
-        grid=(m // t, m // t),
+        grid=(m // ti, m // t),
         in_specs=[
-            pl.BlockSpec((t, kk), lambda i, j: (i, 0),
+            pl.BlockSpec((ti, kk), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),            # L21 row tile
             pl.BlockSpec((kk, t), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),            # U12 col tile
-            pl.BlockSpec((t, t), lambda i, j: (kb + i, kb + j),
+            pl.BlockSpec((ti, t), lambda i, j: (kbi + i, kbj + j),
                          memory_space=pltpu.VMEM),            # a22 tile
         ],
-        out_specs=pl.BlockSpec((t, t), lambda i, j: (kb + i, kb + j),
+        out_specs=pl.BlockSpec((ti, t), lambda i, j: (kbi + i, kbj + j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, n), w),
         input_output_aliases={2: 0},  # the full matrix, in place
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(
-                2 * t * t * max(w.itemsize, 4) + 4 * t * kk * gd.itemsize
-                + (32 << 20)
+                2 * 2 * ti * t * max(w.itemsize, 2)
+                + 2 * (ti + t) * kk * gd.itemsize + (32 << 20)
             ),
         ),
         interpret=interpret,
     )
+
+
+def _trailing_ti(m: int, ko: int, w_item: int, gd_item: int, kk: int) -> int:
+    """Tallest row tile whose double-buffered VMEM footprint fits: the L21
+    block is cached across a whole row strip (its index map ignores j), so
+    U12's total re-fetch traffic scales as 1/ti — at n=65536 ALL_BF16 going
+    1024 -> 4096 saves ~170 ms of pure HBM time."""
+    for ti in (4096, 2048, 1024):
+        if m % ti or ko % ti:
+            continue
+        need = 2 * 2 * ti * 1024 * max(w_item, 2) + 2 * (ti + 1024) * kk * gd_item
+        if need <= (72 << 20):
+            return ti
+    return 1024
 
 
 def trailing_gemm_sub(a, l21, u12, ko, interpret=False):
@@ -608,8 +645,10 @@ def trailing_gemm_sub(a, l21, u12, ko, interpret=False):
     (static) and the trailing size must be multiples of 1024."""
     n = a.shape[0]
     m, kk = l21.shape
+    ti = _trailing_ti(m, int(ko), jnp.dtype(a.dtype).itemsize,
+                      jnp.dtype(l21.dtype).itemsize, kk)
     fn = _build_trailing_sub(
-        n, int(ko), m, kk, a.dtype.name, l21.dtype.name, interpret
+        n, int(ko), m, kk, a.dtype.name, l21.dtype.name, ti, interpret
     )
     return fn(l21, u12, a)
 

@@ -55,8 +55,9 @@ _CHUNK = 1024   # rows per transpose-load DMA chunk
 def _strip_pivot_kernel(
     meta_ref, panel_ref, pos_in_ref,
     piv_ref, pos_ref, glist_ref,
-    t_ref, chunk_ref, sem,
+    t_ref, chunk_ref, upf_ref, sem,
     *, r: int, m: int, nchunk: int, ch: int, allow_packed: bool = False,
+    roll_packed: bool = False,
 ):
     dt = t_ref.dtype
     f32 = jnp.float32
@@ -91,19 +92,35 @@ def _strip_pivot_kernel(
 
     # The per-column search/bookkeeping chain runs on (8, m/8) PACKED views:
     # (1, m) vectors occupy one sublane of each vreg (1/8 VPU efficiency),
-    # and the chain is ~10 dependent ops per column — repacking costs two
-    # cheap reshapes per column and runs the chain at full vector width.
-    # Compiled Mosaic on this target rejects lane->sublane shape casts
-    # ("infer-vector-layout: unsupported shape cast"), so the packed chain
-    # is interpret-only until the group-major layout rewrite lands.
-    packable = allow_packed and m % (8 * 128) == 0
+    # and the chain is ~15 dependent ops per column — packing runs it at
+    # full vector width.  Compiled Mosaic on this target rejects
+    # lane->sublane shape casts AND lowers slice/concat and ref-roundtrip
+    # repacks pathologically (round-3 micro-tests: 15 ms per repack), but
+    # the per-sublane-strided lane ROLL is native: pack = broadcast to
+    # (8, m) + roll row s right by (s+1)*ml + take lanes [0, ml) — row s
+    # then holds v[(7-s)*ml + g] (reversed-row split).  Unpack (the working
+    # direction) stores the 8 sublane slices at their lane offsets of a
+    # (1, m) scratch.  Interpret mode (tests) uses plain reshapes with the
+    # same reversed-row convention, so both modes are bit-identical.
+    packable = (allow_packed or roll_packed) and m % (8 * 128) == 0
     ml = m // 8 if packable else m
 
-    def pk(v):   # (1, m) -> (8, ml) row-major split
-        return v.reshape(8, ml) if packable else v
+    def pk(v):   # (1, m) -> (8, ml) reversed-row split
+        if not packable:
+            return v
+        if roll_packed:
+            b = jnp.broadcast_to(v, (8, m))
+            return pltpu.roll(b, ml, 1, stride=ml, stride_axis=0)[:, :ml]
+        return v.reshape(8, ml)[::-1, :]
 
-    def upk(v):  # (8, ml) -> (1, m)
-        return v.reshape(1, m) if packable else v
+    def upk(v):  # (8, ml) -> (1, m), f32 only (routes through upf_ref)
+        if not packable:
+            return v
+        if roll_packed:
+            for s in range(8):
+                upf_ref[0:1, (7 - s) * ml:(8 - s) * ml] = v[s:s + 1, :]
+            return upf_ref[0:1, :]
+        return v[::-1, :].reshape(1, m)
 
     lanes3 = pk(lanes)
     pos = pk(pos_in_ref[:])
@@ -221,7 +238,12 @@ def _strip_pivot_kernel(
     )
 
     piv_ref[:] = piv
-    pos_ref[:] = upk(pos)
+    if roll_packed and packable:
+        # int32 unpack straight into the output ref (upf_ref is f32-typed)
+        for s in range(8):
+            pos_ref[0:1, (7 - s) * ml:(8 - s) * ml] = pos[s:s + 1, :]
+    else:
+        pos_ref[:] = upk(pos)
     glist_ref[:] = olog  # olog[j] == final occupant of position off+j
 
 
@@ -235,9 +257,16 @@ def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
     # the _fused_ok gates admit — off the assert)
     ch = m if m <= _CHUNK else math.gcd(m, _CHUNK)
     assert r % _W == 0 and m % ch == 0 and ch % _W == 0, (m, r, ch)
+    # roll_packed: the full-vector-width search chain for compiled mode.
+    # Gated behind MPF_ROLL_PACK=1 until pltpu.roll's per-sublane stride
+    # is validated on this target (round-3 bring-up: the strided roll
+    # compiled but applied a uniform shift, breaking the packing).
+    import os
     kernel = functools.partial(
         _strip_pivot_kernel, r=r, m=m, nchunk=m // ch, ch=ch,
         allow_packed=interpret,
+        roll_packed=(not interpret) and m % 1024 == 0
+        and os.environ.get("MPF_ROLL_PACK") == "1",
     )
     return pl.pallas_call(
         kernel,
@@ -256,6 +285,7 @@ def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
             scratch_shapes=[
                 pltpu.VMEM((r, m), panel_dtype),          # transposed panel
                 pltpu.VMEM((2, ch, r), in_dtype),         # transpose chunks
+                pltpu.VMEM((1, m), jnp.float32),          # packed-chain unpack
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),

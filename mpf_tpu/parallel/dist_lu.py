@@ -351,19 +351,28 @@ def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy):
         )
 
         # -- lookahead narrow update + next-panel gather -------------------
+        # The trailing work is confined to the STATIC local windows
+        # [rt:, ct:] — the smallest uniform (SPMD) slices containing every
+        # device's unfinished blocks (rows/cols of finished blocks inside
+        # the window are masked to zero by lg/u12m).  Round 2 ran the GEMM
+        # and the subtract over the FULL (h, w) tile every step: 3x the
+        # GEMM flops and 3x the subtract HBM traffic of the true trailing
+        # work — the bulk of the round-2 (1,1)-mesh +20-29% overhead.
         lmine = jnp.where((grows >= off + b)[:, None], pmine, 0)
         lg = lmine.astype(policy.gemm_in)
         u12m = jnp.where(colmask[None, :], u12, 0)
+        rt = min((k + 1) // gp, nlp - 1) * b
+        ct = min((k + 1) // gq, nlq - 1) * b
         if k + 1 < nb:
             jl2, qk2 = (k + 1) // gq, (k + 1) % gq
             ucol = u12m[:, jl2 * b : (jl2 + 1) * b]
             updn = jnp.dot(
-                lg, ucol.astype(policy.gemm_in),
+                lg[rt:], ucol.astype(policy.gemm_in),
                 preferred_element_type=policy.accum, precision=gemm_prec,
             )
-            curn = aloc[:, jl2 * b : (jl2 + 1) * b]
+            curn = aloc[rt:, jl2 * b : (jl2 + 1) * b]
             newn = (curn.astype(policy.accum) - updn).astype(aloc.dtype)
-            aloc = aloc.at[:, jl2 * b : (jl2 + 1) * b].set(
+            aloc = aloc.at[rt:, jl2 * b : (jl2 + 1) * b].set(
                 jnp.where(qq == qk2, newn, curn)
             )
             panel = gather_panel(aloc, k + 1)
@@ -371,12 +380,13 @@ def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy):
             skip = (qq == qk2) & (cidx == jl2)
             u12m = jnp.where(skip[None, :], 0, u12m)
 
-        # -- trailing update (one local MXU GEMM) --------------------------
-        upd = jnp.dot(
-            lg, u12m.astype(policy.gemm_in),
-            preferred_element_type=policy.accum, precision=gemm_prec,
-        )
-        aloc = (aloc.astype(policy.accum) - upd).astype(aloc.dtype)
+            # -- trailing update (one local MXU GEMM on the tail window) ---
+            upd = jnp.dot(
+                lg[rt:], u12m[:, ct:].astype(policy.gemm_in),
+                preferred_element_type=policy.accum, precision=gemm_prec,
+            )
+            tail = (aloc[rt:, ct:].astype(policy.accum) - upd).astype(aloc.dtype)
+            aloc = aloc.at[rt:, ct:].set(tail)
 
     return aloc[None, None], ipiv, info, permc
 

@@ -92,3 +92,27 @@ def test_composed_perm_matches_ipiv():
     x_ipiv = getrs(res.lu, res.ipiv, jnp.asarray(b))
     np.testing.assert_allclose(np.asarray(x_perm), np.asarray(x_ipiv), rtol=0, atol=0)
     assert solve_residual(a, np.asarray(x_perm), b) < 5e-3  # direct solve, bf16 GEMMs
+
+
+def test_getrs_blocked_matches_xla(monkeypatch):
+    """The blocked-substitution large-n path (VERDICT r2 item 6) must match
+    the XLA triangular_solve path to fp32 roundoff."""
+    import mpf_tpu.models.solve as S
+
+    n = 256
+    a = matgen.random_dense(n, seed=5)
+    rng = np.random.default_rng(5)
+    b = rng.random((n, 3)).astype(np.float32)
+    res = mpf_factorize(jnp.asarray(a), r=32, policy=PURE_FP32)
+    x_ref = np.asarray(getrs(res.lu, res.ipiv, jnp.asarray(b), perm=res.perm))
+    monkeypatch.setattr(S, "_BLOCKED_SOLVE_MIN", 64)
+    monkeypatch.setattr(S, "_SOLVE_NB", 64)
+    x_blk = np.asarray(
+        S.getrs.__wrapped__(res.lu, res.ipiv, jnp.asarray(b), res.perm)
+    )
+    np.testing.assert_allclose(x_blk, x_ref, rtol=2e-4, atol=2e-4)
+    # vector RHS route too
+    xv = np.asarray(
+        S.getrs.__wrapped__(res.lu, res.ipiv, jnp.asarray(b[:, 0]), res.perm)
+    )
+    np.testing.assert_allclose(xv, x_ref[:, 0], rtol=2e-4, atol=2e-4)

@@ -38,8 +38,8 @@ def _policy(name):
         "mpf_bf16": precision.MPF_BF16,
         "all_bf16": precision.ALL_BF16,
         "mpf_fp16": precision.MPF_FP16,
-        "all_fp32": precision.ALL_FP32,
-        "mpf_fp32": precision.MPF_FP32,
+        "pure_fp32": precision.PURE_FP32,
+        "mpf_ref": precision.MPF_REF,
     }[name]
 
 
@@ -246,7 +246,7 @@ def cmd_batched(args):
     key = jax.random.PRNGKey(args.seed)
     a = jax.random.uniform(key, (bsz, n, n), jnp.float32) + \
         jnp.eye(n)[None] * (n / 4.0)
-    pol = _policy(args.policy if args.policy != "mpf_bf16" else "all_fp32")
+    pol = _policy(args.policy if args.policy != "mpf_bf16" else "pure_fp32")
     psecs, _ = time_fn(lambda x: batched_factorize(x, r=args.r, policy=pol).lu,
                        a, warmup=1, iters=args.iters)
 
