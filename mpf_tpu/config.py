@@ -43,7 +43,8 @@ def ablate(stage: str) -> bool:
     driver stages to skip (results become WRONG — measurement only).
     Stages: ``exchange`` (per-block-column physical row exchange),
     ``outer`` (outer U12 + trailing GEMM), ``slabio`` (block-column slab
-    extract/writeback)."""
+    extract/writeback), ``a1`` (strip pivot kernel), ``a2`` (rowblock
+    assembly), ``bstream`` (streaming panel update)."""
     return stage in os.environ.get("MPF_ABLATE", "").split(",")
 
 

@@ -213,7 +213,11 @@ def _inner_panel_step(slab, perm, piv_all, info, kk, jj0, rp, policy, pivot, pan
 
 
 _PAD_QUANTUM = 4096  # row padding quantum for fused-path kernel instances
-_FUSED_RB = 512      # streaming-update row-block height
+# Streaming-update row-block height: every window is a _PAD_QUANTUM multiple
+# so 2048 always divides; the round-2 value (512) made the B kernel
+# grid-step-overhead-bound (512 steps of 256 KB at n=32768 — ~2x its HBM
+# floor), and (rb, r) fp32 blocks at 2048 are still only 1 MB of VMEM each
+_FUSED_RB = 2048
 _PAD_ALIGN = 1024    # identity-extension target for non-aligned n
 _PAD_MIN_N = 2048    # below this, the masked fallback path is fine
 
@@ -243,7 +247,7 @@ def _fused_ok(n: int, k: int, bc: int, r: int, policy, pivot, panel_kernel) -> b
         return False
     q = _pad_quantum(n)
     m = min(n, -((k - n) // q) * q)
-    if m % min(_FUSED_RB, m):
+    if m % min(512, m):  # rb self-adjusts down to the 512 floor
         return False
     # transposed panel must fit VMEM next to the strip buffers (v5e VMEM is
     # 128 MB; n=65536 bf16 panels need ~17 MB)
@@ -305,6 +309,8 @@ def _factor_block_column_fused(slab, diag0, r, policy):
         and jnp.dtype(policy.working) != jnp.bfloat16
     )
     rb = min(_FUSED_RB, m)
+    while m % rb:  # 512-aligned windows (the _fused_ok floor) still divide
+        rb //= 2
 
     # The panel loop is UNROLLED at trace time: jj0/j0 become constants, so
     # the panel slice and the per-panel bookkeeping compile to static
@@ -321,14 +327,23 @@ def _factor_block_column_fused(slab, diag0, r, policy):
         j0 = diag0 + jj0
         # the pivot kernel reads its panel straight out of the slab in HBM
         # (lane offset jj0) — no (m, r) panel slice is ever materialized
-        piv, pos, glist = strip_panel_pivots(
-            slab, j0, pos, panel_dtype=policy.panel, jj0=jj0, r=r
-        )
-        rowblock, uinv, info_k = rowblock_assemble(slab, glist, jj0)
+        if config.ablate("a1"):  # timing-only stub (results WRONG)
+            piv, glist = j0 + _iota(r), j0 + _iota(r)
+        else:
+            piv, pos, glist = strip_panel_pivots(
+                slab, j0, pos, panel_dtype=policy.panel, jj0=jj0, r=r
+            )
+        if config.ablate("a2"):  # timing-only stub (results WRONG)
+            rowblock = jax.lax.dynamic_slice(slab, (j0, 0), (r, bc))
+            uinv = jnp.triu(jnp.ones((r, r), slab.dtype))
+            info_k = jnp.int32(0)
+        else:
+            rowblock, uinv, info_k = rowblock_assemble(slab, glist, jj0)
         info = jnp.where((info == 0) & (info_k > 0), info_k + jj0, info)
-        slab = panel_apply_update_trim(
-            slab, pos, rowblock, uinv, j0, jj0, rb=rb, gemm_bf16=gemm_bf16
-        )
+        if not config.ablate("bstream"):
+            slab = panel_apply_update_trim(
+                slab, pos, rowblock, uinv, j0, jj0, rb=rb, gemm_bf16=gemm_bf16
+            )
         pivs.append(piv)
         ologs.append(glist)
         rowblocks.append(rowblock)

@@ -154,32 +154,55 @@ def _strip_pivot_kernel(
                 jnp.where(wrows == jc, st, 0.0), axis=0, keepdims=True
             )  # (1, m)
             colv3 = pk(colv)
-            # pivot search over rows not yet chosen (lowest position wins);
-            # all reductions kept as (1, 1) arrays (vector->scalar extraction
-            # stalls the VPU on this target)
-            cabs = jnp.where(pos >= d, jnp.abs(colv3), f32(-1.0))
-            mx = jnp.max(cabs, keepdims=True).reshape(1, 1)
-            cp = jnp.min(
-                jnp.where((cabs == mx) & (pos >= d), pos, m), keepdims=True
-            ).reshape(1, 1)
-            o1 = jnp.sum(jnp.where(pos == cp, lanes3, 0), keepdims=True
+            # Pivot search, TWO cross-lane reductions on the critical path
+            # (round 3; the round-2 chain had four *sequential* reduces —
+            # mx, cp, o1, pivval — each ~1us of VPU latency per column):
+            #   1. max over the int32 bit patterns of |colv| (monotone for
+            #      non-negative IEEE floats), which also recovers |pivval|
+            #      without the separate pivval reduce;
+            #   2. min over the key (pos << 1 | signbit) among the max-abs
+            #      ties: lowest CURRENT POSITION wins (reference strict-'>'
+            #      scan semantics, `hgetf2_kernel.cu:68-82`), and the key's
+            #      low bit carries the winner's sign for pivval.
+            # The winner LANE is then identified elementwise (pos == cp; pos
+            # is a permutation so the lane is unique) — the o1 value reduce
+            # below only feeds the olog/olist outputs, NOT the next column,
+            # so it sits off the sequential dependency chain.
+            bits = jax.lax.bitcast_convert_type(colv3, jnp.int32)
+            absb = jnp.bitwise_and(bits, jnp.int32(0x7FFFFFFF))
+            active = pos >= d
+            mxb = jnp.max(jnp.where(active, absb, jnp.int32(-1)),
+                          keepdims=True).reshape(1, 1)
+            sgn = jnp.where(bits < 0, jnp.int32(1), jnp.int32(0))
+            key = jnp.where(
+                active & (absb == mxb),
+                jnp.bitwise_or(jnp.left_shift(pos, jnp.int32(1)), sgn),
+                jnp.int32(2**31 - 1),
+            )
+            kmin = jnp.min(key, keepdims=True).reshape(1, 1)
+            cp = jnp.right_shift(kmin, jnp.int32(1))  # keys >= 0: arith == logical
+            winner = pos == cp
+            o1 = jnp.sum(jnp.where(winner, lanes3, 0), keepdims=True
                          ).reshape(1, 1)
             # the lane displaced from the diagonal is identified by pos==d
             # directly — no winner/displaced map maintenance, no o2 reduce
-            pos = jnp.where(pos == d, cp, pos)
-            pos = jnp.where(lanes3 == o1, d, pos)
+            pos = jnp.where(winner, d, jnp.where(pos == d, cp, pos))
             piv = jnp.where(pivlanes == s0 + jc, cp, piv)
             olog = jnp.where(pivlanes == s0 + jc, o1, olog)
             olist = jnp.where(wlanes == jc, o1, olist)
-            # multipliers (fp32; masked to rows still below the diagonal)
-            pivval = jnp.sum(jnp.where(lanes3 == o1, colv3, 0.0), keepdims=True
-                             ).reshape(1, 1)
-            safe = jnp.where(pivval == 0, f32(1), pivval)
+            # pivot value reconstructed from the two reduces, bit-exact:
+            # |pivval| = mxb reinterpreted, sign = key's low bit
+            mxf = jax.lax.bitcast_convert_type(mxb, f32)
+            pivval = jnp.where(jnp.bitwise_and(kmin, 1) == 1, -mxf, mxf)
+            safe = jnp.where(mxb == 0, f32(1), pivval)
             mult3 = jnp.where(pos > d, colv3 / safe, 0.0)          # (8, ml)
             mult = upk(mult3)                                      # (1, m)
             mbuf = jnp.where(wrows == jc, mult, mbuf)
-            # in-strip elimination: rows jc+1.. of the strip only
-            ucol = jnp.sum(jnp.where(lanes == o1, st, 0.0), axis=1,
+            # in-strip elimination: rows jc+1.. of the strip only.  The
+            # winner mask is unpacked (identity in the flat path) so ucol
+            # needs no o1 — keeping o1's reduce off the critical chain.
+            wflat = upk(jnp.where(winner, f32(1), f32(0)))          # (1, m)
+            ucol = jnp.sum(jnp.where(wflat != 0, st, 0.0), axis=1,
                            keepdims=True)
             ucol = jnp.where(wrows > jc, ucol, 0.0)                # (W, 1)
             st = st - ucol * mult

@@ -217,7 +217,7 @@ def _dist_fused_ok(n: int, b: int, r: int, policy, pivot: bool) -> bool:
         return False
     if _jnp.dtype(policy.working) not in (_jnp.bfloat16, _jnp.float32):
         return False
-    if n % 128 or b % r or r % 8 or r < 8 or n % min(_FUSED_RB, n):
+    if n % 128 or b % r or r % 8 or r < 8 or n % min(512, n):
         return False
     if r % 128 and jax.default_backend() == "tpu":
         return False

@@ -129,7 +129,8 @@ def cmd_ablate(args):
         "print('%%7.1f ms  (%%6.2f TF/s)' %% (secs*1e3, tf), flush=True)\n"
     ) % (REPO, vars(args))
     stages = args.stages.split("/") if args.stages else [
-        "", "exchange", "outer", "slabio", "exchange,outer,slabio",
+        "", "a1", "a2", "bstream", "exchange", "outer",
+        "a1,a2,bstream,exchange,outer,slabio",
     ]
     for tag in stages:
         env = dict(os.environ, MPF_ABLATE=tag)
@@ -156,15 +157,30 @@ def cmd_micro(args):
     slab = jnp.asarray(rng.standard_normal((m, bc)), work)
     pos0 = jnp.arange(m, dtype=jnp.int32)
 
+    # dispatch floor: the tunnel RTT (~28 ms) rides on every host-visible
+    # fetch — measure it with a null jit and subtract, else a 0.2 ms/iter
+    # kernel at iters=32 reads as 1.1 ms/iter (round-3 lesson)
+    null = jax.jit(lambda x: x + 1.0)
+    for _ in range(2):
+        float(null(jnp.float32(1)))
+    t0 = time.perf_counter()
+    for _ in range(4):
+        fp0 = float(null(jnp.float32(1)))
+    rtt = (time.perf_counter() - t0) / 4
+    print(f"dispatch floor: {rtt*1e3:.1f} ms", flush=True)
+
     def bench(name, fn, *xs):
         g = jax.jit(fn)
         for _ in range(2):
             fp = float(jnp.sum(jax.tree.leaves(g(*xs))[0].astype(jnp.float32)))
-        t0 = time.perf_counter()
-        fp = float(jnp.sum(jax.tree.leaves(g(*xs))[0].astype(jnp.float32)))
-        dt = time.perf_counter() - t0
-        print(f"{name:24s}: {dt*1e3/iters:8.3f} ms/iter (total {dt*1e3:6.0f} ms,"
-              f" fp={fp:.3e})", flush=True)
+        dts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fp = float(jnp.sum(jax.tree.leaves(g(*xs))[0].astype(jnp.float32)))
+            dts.append(time.perf_counter() - t0)
+        dt = max(min(dts) - rtt, 0.0)
+        print(f"{name:24s}: {dt*1e3/iters:8.3f} ms/iter (total {dt*1e3:6.0f} ms"
+              f" net of {rtt*1e3:.0f} ms dispatch, fp={fp:.3e})", flush=True)
 
     def a1(slab, pos):
         def body(t, c):
@@ -189,10 +205,14 @@ def cmd_micro(args):
     rowblock = jnp.asarray(rng.standard_normal((r, bc)), work)
     uinv = jnp.asarray(np.triu(rng.standard_normal((r, r))), work)
 
+    from mpf_tpu.models.mpf import _FUSED_RB
+
+    rb = min(_FUSED_RB, m)
+
     def bstage(slab):
         def body(t, s):
             return panel_apply_update_trim(s, pos0, rowblock, uinv,
-                                           jnp.int32(0), 0, rb=512)
+                                           jnp.int32(0), 0, rb=rb)
         return jax.lax.fori_loop(0, iters, body, slab)
 
     bench("B streaming update", bstage, slab)
