@@ -26,36 +26,26 @@ def batched_factorize(
 ) -> MPFResult:
     """Factor a (batch, n, n) stack of matrices.  Returns stacked MPFResult.
 
-    On TPU with fp32 working precision the grid-parallel batched Pallas
-    kernel factors tiles of matrices vectorized across the batch
-    (`ops/batched_pallas.py` — the round-2 TPU path for BASELINE.json
-    config 5); otherwise the blocked driver runs under ``vmap`` with the
-    jnp reference kernels (the fused single-matrix kernels' aliasing/DMA
-    patterns are not vmappable).
+    The blocked driver runs under ``vmap`` with the jnp reference kernels
+    (the fused single-matrix kernels' aliasing/DMA patterns are not
+    vmappable).
+
+    A grid-parallel batched Pallas kernel (round 2, batch-tiled programs
+    with per-column virtual pivoting) was measured performance-EQUAL to
+    this vmapped path at the BASELINE config-5 shape (4096 x 256^2: both
+    0.15 TF/s on the v5e) and removed in round 3.  The architectural
+    reason: a 256^2 LU is too small for the MXU's tiles, so both paths are
+    VPU elimination loops, and the per-column pivot-row extractions (masked
+    cross-lane reduces, one per future column per strip) cost more vector
+    work than the rank-k update FMAs they feed — a bound no batch layout
+    changes.  TPU-native batched throughput comes from the batch axis
+    itself: this driver is shardable over the mesh batch dim
+    (`mpf_tpu/parallel`), which is BASELINE config 5's actual scaling axis.
     """
-    import jax.numpy as jnp
+    fn = lambda m: mpf_factorize_traced(m, r=r, policy=policy, pivot=pivot)
 
     from mpf_tpu import config
 
-    bsz, n = a.shape[0], a.shape[1]
-    if (
-        pivot
-        and config.use_pallas()
-        and jnp.dtype(policy.working) == jnp.float32
-        and n % 8 == 0
-        and n <= 1024
-        and bsz % 2 == 0  # nb_tile=1 degenerates the in-program batch
-        # vectorization the kernel is built around — odd batches fall back
-    ):
-        from mpf_tpu.ops.batched_pallas import batched_lu
-
-        nb = next(t for t in (8, 4, 2) if bsz % t == 0)
-        lu, ipiv, perm, info = batched_lu(
-            a.astype(policy.working), nb_tile=nb
-        )
-        return MPFResult(lu=lu, ipiv=ipiv, info=info, perm=perm)
-
-    fn = lambda m: mpf_factorize_traced(m, r=r, policy=policy, pivot=pivot)
     with config.force_jnp_kernels():
         return jax.vmap(fn)(a)
 

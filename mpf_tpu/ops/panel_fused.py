@@ -585,21 +585,24 @@ def _trailing_sub_kernel(l_ref, u_ref, a_ref, out_ref, *, hi):
     out_ref[:] = (a_ref[:].astype(f32) - acc).astype(out_ref.dtype)
 
 
-@functools.lru_cache(maxsize=256)
-def _build_trailing_sub(n: int, ko: int, m: int, kk: int, dtype_name: str,
-                        gemm_dtype_name: str, ti: int = 1024,
-                        interpret: bool = False):
+@functools.lru_cache(maxsize=512)
+def _build_trailing_sub(n: int, ko: int, row0: int, mrows: int, m: int,
+                        kk: int, dtype_name: str, gemm_dtype_name: str,
+                        ti: int = 1024, interpret: bool = False):
+    """Epilogue-fused a[row0:row0+mrows, ko:ko+m] -= l21seg @ u12, in place
+    on the full (n, n) matrix."""
     w = jnp.dtype(dtype_name)
     gd = jnp.dtype(gemm_dtype_name)
     t = 1024
-    assert m % ti == 0 and ko % ti == 0 and ti % t == 0, (m, ko, ti)
+    assert mrows % ti == 0 and row0 % ti == 0 and m % t == 0 and ko % t == 0, (
+        mrows, row0, m, ko, ti)
     hi = jax.lax.Precision.HIGHEST if gd == jnp.float32 else None
     kernel = functools.partial(_trailing_sub_kernel, hi=hi)
-    kbi = ko // ti
+    kbi = row0 // ti
     kbj = ko // t
     return pl.pallas_call(
         kernel,
-        grid=(m // ti, m // t),
+        grid=(mrows // ti, m // t),
         in_specs=[
             pl.BlockSpec((ti, kk), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),            # L21 row tile
@@ -622,35 +625,54 @@ def _build_trailing_sub(n: int, ko: int, m: int, kk: int, dtype_name: str,
     )
 
 
-def _trailing_ti(m: int, ko: int, w_item: int, gd_item: int, kk: int) -> int:
-    """Tallest row tile whose double-buffered VMEM footprint fits: the L21
-    block is cached across a whole row strip (its index map ignores j), so
-    U12's total re-fetch traffic scales as 1/ti — at n=65536 ALL_BF16 going
-    1024 -> 4096 saves ~170 ms of pure HBM time."""
-    for ti in (4096, 2048, 1024):
-        if m % ti or ko % ti:
-            continue
-        need = 2 * 2 * ti * 1024 * max(w_item, 2) + 2 * (ti + 1024) * kk * gd_item
-        if need <= (72 << 20):
-            return ti
-    return 1024
+_TRAILING_TI = 4096
 
 
-def trailing_gemm_sub(a, l21, u12, ko, interpret=False):
+def _trailing_segments(ko: int, m: int, ti: int):
+    """Split rows [ko, ko+m) into (row0, mrows, ti_seg) segments: a
+    ti-aligned core plus <=3-tile ti=1024 edge strips."""
+    s0 = min(-(-ko // ti) * ti, ko + m)          # first aligned row >= ko
+    e0 = s0 + (ko + m - s0) // ti * ti           # end of the aligned core
+    if e0 <= s0:                                  # no core: one edge call
+        return [(ko, m, 1024)]
+    return [(r0, mr, tseg) for (r0, mr, tseg) in (
+        (ko, s0 - ko, 1024), (s0, e0 - s0, ti), (e0, ko + m - e0, 1024),
+    ) if mr > 0]
+
+
+def trailing_gemm_sub(a, l21, u12, ko, interpret=False, _ti=None):
     """In-place trailing update on the FULL matrix: a[ko:, ko:] -=
     l21 @ u12 (fp32 accumulation), with the subtract fused into the GEMM
     epilogue.  XLA materializes the (m, m) product before the subtract —
     a full extra HBM round-trip of the trailing matrix per block column;
     this kernel writes each output tile once, aliased in place.  ``ko``
-    (static) and the trailing size must be multiples of 1024."""
+    (static) and the trailing size must be multiples of 1024.
+
+    The L21 row tile is cached across a whole row strip (its index map
+    ignores j), so U12's total re-fetch traffic scales as 1/ti.  Row tiles
+    must evenly tile their region AND start block-aligned, so the rows
+    [ko, n) are split into a 4096-aligned core plus <=3-tile edge strips at
+    ti=1024 — without the split, every block column whose trailing size is
+    an odd multiple of 1024 ran entirely at ti=1024 (4x the U12 traffic;
+    ~90 ms of pure HBM time across an n=65536 factorization)."""
     n = a.shape[0]
     m, kk = l21.shape
-    ti = _trailing_ti(m, int(ko), jnp.dtype(a.dtype).itemsize,
-                      jnp.dtype(l21.dtype).itemsize, kk)
-    fn = _build_trailing_sub(
-        n, int(ko), m, kk, a.dtype.name, l21.dtype.name, ti, interpret
-    )
-    return fn(l21, u12, a)
+    ko = int(ko)
+    w_item = jnp.dtype(a.dtype).itemsize
+    gd_item = jnp.dtype(l21.dtype).itemsize
+    ti = _ti or _TRAILING_TI
+    while ti > 1024 and (
+        2 * 2 * ti * 1024 * max(w_item, 2) + 2 * (ti + 1024) * kk * gd_item
+        > (72 << 20)
+    ):
+        ti //= 2
+    for r0, mr, tseg in _trailing_segments(ko, m, ti):
+        fn = _build_trailing_sub(
+            n, ko, r0, mr, m, kk, a.dtype.name, l21.dtype.name, tseg,
+            interpret,
+        )
+        a = fn(l21[r0 - ko : r0 - ko + mr], u12, a)
+    return a
 
 
 def _apply_update_trim_kernel(

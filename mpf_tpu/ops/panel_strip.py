@@ -123,7 +123,10 @@ def _strip_pivot_kernel(
         return v[::-1, :].reshape(1, m)
 
     lanes3 = pk(lanes)
-    pos = pk(pos_in_ref[:])
+    # pos is carried PRE-SHIFTED (posk = pos << 1) so the per-column tie key
+    # (pos << 1 | sign) needs no shift on the critical chain; comparisons
+    # against d become comparisons against 2d (scalar, free).
+    posk = pk(pos_in_ref[:] << 1)
     piv = pivlanes + off
     # olog[j] = the ORIGINAL ROW chosen as column j's pivot.  Position
     # off+j is final once column j completes (later swaps only touch
@@ -140,15 +143,15 @@ def _strip_pivot_kernel(
     # code per kernel instance and pushed the n=32768 driver program past
     # the 2 GB executable-serialization limit.
     def strip_body(s, carry0):
-        pos, piv, olog = carry0
+        posk, piv, olog = carry0
         s0 = pl.multiple_of(s * _W, _W)
         st = t_ref[pl.ds(s0, _W), :].astype(f32)     # active strip, fp32
         mbuf = jnp.zeros((_W, m), f32)               # multiplier rows
         olist = jnp.zeros((1, _W), jnp.int32)        # pivot lanes o_j
 
         def col_body(jc, carry):
-            st, mbuf, olist, pos, piv, olog = carry
-            d = off + s0 + jc
+            st, mbuf, olist, posk, piv, olog = carry
+            d2 = 2 * (off + s0 + jc)       # doubled diagonal (posk units)
             # current column values: one (W, m) masked reduce, then packed
             colv = jnp.sum(
                 jnp.where(wrows == jc, st, 0.0), axis=0, keepdims=True
@@ -164,57 +167,68 @@ def _strip_pivot_kernel(
             #      ties: lowest CURRENT POSITION wins (reference strict-'>'
             #      scan semantics, `hgetf2_kernel.cu:68-82`), and the key's
             #      low bit carries the winner's sign for pivval.
-            # The winner LANE is then identified elementwise (pos == cp; pos
-            # is a permutation so the lane is unique) — the o1 value reduce
-            # below only feeds the olog/olist outputs, NOT the next column,
-            # so it sits off the sequential dependency chain.
+            # The winner LANE is then identified elementwise (posk == cpk;
+            # pos is a permutation so the lane is unique) — the o1 value
+            # reduce below only feeds the olog/olist outputs, NOT the next
+            # column, so it sits off the sequential dependency chain.
+            # Op-count trims (round 3b): the masked-|bits| array from the
+            # max reduce IS the tie mask operand (tie = masked == mxb, one
+            # compare instead of active & (absb == mxb)); the sign bit
+            # comes from a logical shift (no compare+select); the key needs
+            # no per-lane shift because posk is pre-doubled.  (The multiplier
+            # divide stays a true vector divide: a scalar reciprocal +
+            # multiply would double-round and break bit parity with the jnp
+            # reference kernel.)
             bits = jax.lax.bitcast_convert_type(colv3, jnp.int32)
             absb = jnp.bitwise_and(bits, jnp.int32(0x7FFFFFFF))
-            active = pos >= d
-            mxb = jnp.max(jnp.where(active, absb, jnp.int32(-1)),
-                          keepdims=True).reshape(1, 1)
-            sgn = jnp.where(bits < 0, jnp.int32(1), jnp.int32(0))
+            masked = jnp.where(posk >= d2, absb, jnp.int32(-1))
+            mxb = jnp.max(masked, keepdims=True).reshape(1, 1)
+            sgn = jax.lax.shift_right_logical(bits, jnp.int32(31))
             key = jnp.where(
-                active & (absb == mxb),
-                jnp.bitwise_or(jnp.left_shift(pos, jnp.int32(1)), sgn),
+                masked == mxb,
+                jnp.bitwise_or(posk, sgn),
                 jnp.int32(2**31 - 1),
             )
             kmin = jnp.min(key, keepdims=True).reshape(1, 1)
-            cp = jnp.right_shift(kmin, jnp.int32(1))  # keys >= 0: arith == logical
-            winner = pos == cp
+            cpk = jnp.bitwise_and(kmin, jnp.int32(-2))  # pivot posk (even)
+            winner = posk == cpk
             o1 = jnp.sum(jnp.where(winner, lanes3, 0), keepdims=True
                          ).reshape(1, 1)
-            # the lane displaced from the diagonal is identified by pos==d
+            # the lane displaced from the diagonal is identified by posk==d2
             # directly — no winner/displaced map maintenance, no o2 reduce
-            pos = jnp.where(winner, d, jnp.where(pos == d, cp, pos))
-            piv = jnp.where(pivlanes == s0 + jc, cp, piv)
+            posk = jnp.where(winner, d2, jnp.where(posk == d2, cpk, posk))
+            piv = jnp.where(pivlanes == s0 + jc,
+                            jax.lax.shift_right_logical(cpk, jnp.int32(1)),
+                            piv)
             olog = jnp.where(pivlanes == s0 + jc, o1, olog)
             olist = jnp.where(wlanes == jc, o1, olist)
             # pivot value reconstructed from the two reduces, bit-exact:
             # |pivval| = mxb reinterpreted, sign = key's low bit
             mxf = jax.lax.bitcast_convert_type(mxb, f32)
             pivval = jnp.where(jnp.bitwise_and(kmin, 1) == 1, -mxf, mxf)
-            safe = jnp.where(mxb == 0, f32(1), pivval)
-            mult3 = jnp.where(pos > d, colv3 / safe, 0.0)          # (8, ml)
+            safe = jnp.where(mxb == 0, f32(1), pivval)          # (1,1) scalar
+            mult3 = jnp.where(posk > d2, colv3 / safe, 0.0)        # (8, ml)
             mult = upk(mult3)                                      # (1, m)
             mbuf = jnp.where(wrows == jc, mult, mbuf)
-            # in-strip elimination: rows jc+1.. of the strip only.  The
-            # winner mask is unpacked (identity in the flat path) so ucol
-            # needs no o1 — keeping o1's reduce off the critical chain.
-            wflat = upk(jnp.where(winner, f32(1), f32(0)))          # (1, m)
-            ucol = jnp.sum(jnp.where(wflat != 0, st, 0.0), axis=1,
+            # in-strip elimination: rows jc+1.. of the strip only.  In the
+            # flat path the (1, m) winner mask broadcasts straight against
+            # st; packed paths unpack it first.  Either way ucol needs no
+            # o1 — keeping o1's reduce off the critical chain.
+            wmask = winner if not packable else (
+                upk(jnp.where(winner, f32(1), f32(0))) != 0)        # (1, m)
+            ucol = jnp.sum(jnp.where(wmask, st, 0.0), axis=1,
                            keepdims=True)
             ucol = jnp.where(wrows > jc, ucol, 0.0)                # (W, 1)
             st = st - ucol * mult
-            return st, mbuf, olist, pos, piv, olog
+            return st, mbuf, olist, posk, piv, olog
 
         # columns unrolled: the fori carry (st + mbuf, ~2x(W,m) fp32) would
         # spill/reload through VMEM every iteration; with static jc the
         # values stay live and the masked wrows==jc selects fold to slices
-        carry = (st, mbuf, olist, pos, piv, olog)
+        carry = (st, mbuf, olist, posk, piv, olog)
         for jc in range(_W):
             carry = col_body(jc, carry)
-        st, mbuf, olist, pos, piv, olog = carry
+        st, mbuf, olist, posk, piv, olog = carry
         t_ref[pl.ds(s0, _W), :] = st.astype(dt)
 
         # ---- deferred rank-W update of all future strips (MXU) ------------
@@ -254,11 +268,12 @@ def _strip_pivot_kernel(
             return 0
 
         jax.lax.fori_loop(s + 1, nstrips, upd_body, 0)
-        return pos, piv, olog
+        return posk, piv, olog
 
-    pos, piv, olog = jax.lax.fori_loop(
-        0, nstrips, strip_body, (pos, piv, olog)
+    posk, piv, olog = jax.lax.fori_loop(
+        0, nstrips, strip_body, (posk, piv, olog)
     )
+    pos = jax.lax.shift_right_logical(posk, jnp.int32(1))  # undo pre-double
 
     piv_ref[:] = piv
     if roll_packed and packable:

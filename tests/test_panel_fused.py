@@ -172,6 +172,55 @@ def test_trailing_gemm_sub_matches_xla():
         np.testing.assert_array_equal(out[:, :ko], ad[:, :ko])
 
 
+def test_trailing_segments():
+    """Row-range split: ti-aligned core + <=3-tile edge strips, exhaustive
+    over every (ko, m) the n=65536 fused driver produces."""
+    from mpf_tpu.ops.panel_fused import _trailing_segments
+
+    for n in (65536, 32768, 33792, 9216):
+        for ko in range(1024, n, 1024):
+            m = n - ko
+            segs = _trailing_segments(ko, m, 4096)
+            # exact cover of [ko, n), in order
+            at = ko
+            for r0, mr, ti in segs:
+                assert r0 == at and mr > 0 and r0 % ti == 0 and mr % ti == 0
+                at = r0 + mr
+            assert at == n
+            # edge strips hold at most 3 tiles; at most one core segment
+            cores = [s for s in segs if s[2] == 4096]
+            assert len(cores) <= 1
+            for r0, mr, ti in segs:
+                if ti == 1024 and cores:
+                    assert mr <= 3 * 1024
+            # whenever >=2 aligned tiles fit, the core exists (the win)
+            if m >= 2 * 4096 + 4096:
+                assert cores, (ko, m)
+
+
+def test_trailing_gemm_sub_segmented():
+    """ko=1024 with _ti=2048 at n=5120 exercises all three segment kinds:
+    leading edge strip, aligned core, trailing edge strip."""
+    from mpf_tpu.ops.panel_fused import trailing_gemm_sub, _trailing_segments
+
+    assert len(_trailing_segments(1024, 4096, 2048)) == 3
+    rng = np.random.default_rng(11)
+    n, ko, r = 5120, 1024, 64
+    m = n - ko
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    l21 = rng.standard_normal((m, r)).astype(np.float32)
+    u12 = rng.standard_normal((r, m)).astype(np.float32)
+    out = np.asarray(trailing_gemm_sub(
+        jnp.asarray(a), jnp.asarray(l21), jnp.asarray(u12), ko,
+        interpret=True, _ti=2048,
+    ))
+    exp = a.copy()
+    exp[ko:, ko:] = a[ko:, ko:] - l21 @ u12
+    np.testing.assert_allclose(out, exp, rtol=2e-4, atol=2e-3)
+    np.testing.assert_array_equal(out[:ko, :], a[:ko, :])
+    np.testing.assert_array_equal(out[:, :ko], a[:, :ko])
+
+
 def test_panel_apply_update_trim_matches_full():
     """The column-trimmed variant must agree with the full-slab kernel on
     every column at/right of the panel, and leave left columns untouched."""
