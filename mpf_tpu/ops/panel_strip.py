@@ -57,7 +57,7 @@ def _strip_pivot_kernel(
     piv_ref, pos_ref, glist_ref,
     t_ref, chunk_ref, upf_ref, sem,
     *, r: int, m: int, nchunk: int, ch: int, allow_packed: bool = False,
-    roll_packed: bool = False,
+    roll_packed: bool = False, quant16: bool = False,
 ):
     dt = t_ref.dtype
     f32 = jnp.float32
@@ -126,7 +126,14 @@ def _strip_pivot_kernel(
     # pos is carried PRE-SHIFTED (posk = pos << 1) so the per-column tie key
     # (pos << 1 | sign) needs no shift on the critical chain; comparisons
     # against d become comparisons against 2d (scalar, free).
-    posk = pk(pos_in_ref[:] << 1)
+    # quant16 (bf16 panels): posk instead carries the INVERTED doubled
+    # position (65535 - pos) << 1, so the single packed search key
+    # [abs_top15 | invpos16 | sign] is max-reduced in ONE cross-lane
+    # reduction (see col_body).
+    if quant16:
+        posk = pk(jnp.int32(131070) - (pos_in_ref[:] << 1))
+    else:
+        posk = pk(pos_in_ref[:] << 1)
     piv = pivlanes + off
     # olog[j] = the ORIGINAL ROW chosen as column j's pivot.  Position
     # off+j is final once column j completes (later swaps only touch
@@ -180,34 +187,82 @@ def _strip_pivot_kernel(
             # multiply would double-round and break bit parity with the jnp
             # reference kernel.)
             bits = jax.lax.bitcast_convert_type(colv3, jnp.int32)
-            absb = jnp.bitwise_and(bits, jnp.int32(0x7FFFFFFF))
-            masked = jnp.where(posk >= d2, absb, jnp.int32(-1))
-            mxb = jnp.max(masked, keepdims=True).reshape(1, 1)
-            sgn = jax.lax.shift_right_logical(bits, jnp.int32(31))
-            key = jnp.where(
-                masked == mxb,
-                jnp.bitwise_or(posk, sgn),
-                jnp.int32(2**31 - 1),
-            )
-            kmin = jnp.min(key, keepdims=True).reshape(1, 1)
-            cpk = jnp.bitwise_and(kmin, jnp.int32(-2))  # pivot posk (even)
-            winner = posk == cpk
+            if quant16:
+                # ---- quant16 (round 3c, bf16 panels): ONE cross-lane max
+                # reduce per column.  The panel values are bf16 at strip
+                # load (t_ref is bf16), so their fp32 |bits| top 15 bits
+                # [sign-less exponent+7-bit mantissa] ARE the value; only
+                # the <=7 in-strip fp32 corrections add low bits, and the
+                # panel factors are DISCARDED (reference semantics,
+                # `MPF.cu:120-145`) — pivot selection at bf16 granularity
+                # with coarsened ties (equal top-15-bit |value| -> lowest
+                # current position, a strict superset of the reference's
+                # tie rule `hgetf2_kernel.cu:68-82`) and a top-15-bit
+                # truncated divisor change ONLY which near-equal pivot is
+                # picked, never pivot quality (|chosen| >= (1 - 2^-8)|max|).
+                # Key (unsigned): [abs15 : 31..17][invpos16 : 16..1][sign: 0],
+                # compared as int32 after XOR 0x8000_0000 (order-preserving
+                # u32 -> i32 bias).  posk carries invposk so the key needs
+                # no per-lane arithmetic beyond mask/or.
+                id2 = jnp.int32(131070) - d2   # inverted doubled diagonal
+                sgn = jax.lax.shift_right_logical(bits, jnp.int32(31))
+                ks = jnp.bitwise_xor(
+                    jnp.left_shift(
+                        jnp.bitwise_and(bits, jnp.int32(0x7FFF0000)),
+                        jnp.int32(1),
+                    ),
+                    jnp.int32(-(2**31)),
+                )
+                kx = jnp.where(
+                    posk <= id2,                   # pos >= d (active)
+                    jnp.bitwise_or(jnp.bitwise_or(ks, posk), sgn),
+                    jnp.int32(-(2**31)),
+                )
+                kmx = jnp.max(kx, keepdims=True).reshape(1, 1)
+                winner = kx == kmx
+                # (1, 1) scalar decode, off the vector chain
+                ku = jnp.bitwise_xor(kmx, jnp.int32(-(2**31)))
+                wk = jnp.bitwise_and(ku, jnp.int32(0x1FFFE))  # winner invposk
+                awb = jnp.bitwise_and(
+                    jax.lax.shift_right_logical(ku, jnp.int32(1)),
+                    jnp.int32(0x7FFF0000),
+                )                                  # truncated |pivval| bits
+                mxf = jax.lax.bitcast_convert_type(awb, f32)
+                pivval = jnp.where(jnp.bitwise_and(ku, 1) == 1, -mxf, mxf)
+                safe = jnp.where(awb == 0, f32(1), pivval)
+                cpk = jnp.int32(131070) - wk       # pivot posk (doubled pos)
+                posk = jnp.where(winner, id2, jnp.where(posk == id2, wk, posk))
+                below = posk < id2                 # pos > d
+            else:
+                absb = jnp.bitwise_and(bits, jnp.int32(0x7FFFFFFF))
+                masked = jnp.where(posk >= d2, absb, jnp.int32(-1))
+                mxb = jnp.max(masked, keepdims=True).reshape(1, 1)
+                sgn = jax.lax.shift_right_logical(bits, jnp.int32(31))
+                key = jnp.where(
+                    masked == mxb,
+                    jnp.bitwise_or(posk, sgn),
+                    jnp.int32(2**31 - 1),
+                )
+                kmin = jnp.min(key, keepdims=True).reshape(1, 1)
+                cpk = jnp.bitwise_and(kmin, jnp.int32(-2))  # pivot posk (even)
+                winner = posk == cpk
+                # the lane displaced from the diagonal is identified by
+                # posk==d2 directly — no winner/displaced map maintenance
+                posk = jnp.where(winner, d2, jnp.where(posk == d2, cpk, posk))
+                # pivot value reconstructed from the two reduces, bit-exact:
+                # |pivval| = mxb reinterpreted, sign = key's low bit
+                mxf = jax.lax.bitcast_convert_type(mxb, f32)
+                pivval = jnp.where(jnp.bitwise_and(kmin, 1) == 1, -mxf, mxf)
+                safe = jnp.where(mxb == 0, f32(1), pivval)      # (1,1) scalar
+                below = posk > d2
             o1 = jnp.sum(jnp.where(winner, lanes3, 0), keepdims=True
                          ).reshape(1, 1)
-            # the lane displaced from the diagonal is identified by posk==d2
-            # directly — no winner/displaced map maintenance, no o2 reduce
-            posk = jnp.where(winner, d2, jnp.where(posk == d2, cpk, posk))
             piv = jnp.where(pivlanes == s0 + jc,
                             jax.lax.shift_right_logical(cpk, jnp.int32(1)),
                             piv)
             olog = jnp.where(pivlanes == s0 + jc, o1, olog)
             olist = jnp.where(wlanes == jc, o1, olist)
-            # pivot value reconstructed from the two reduces, bit-exact:
-            # |pivval| = mxb reinterpreted, sign = key's low bit
-            mxf = jax.lax.bitcast_convert_type(mxb, f32)
-            pivval = jnp.where(jnp.bitwise_and(kmin, 1) == 1, -mxf, mxf)
-            safe = jnp.where(mxb == 0, f32(1), pivval)          # (1,1) scalar
-            mult3 = jnp.where(posk > d2, colv3 / safe, 0.0)        # (8, ml)
+            mult3 = jnp.where(below, colv3 / safe, 0.0)            # (8, ml)
             mult = upk(mult3)                                      # (1, m)
             mbuf = jnp.where(wrows == jc, mult, mbuf)
             # in-strip elimination: rows jc+1.. of the strip only.  In the
@@ -273,6 +328,8 @@ def _strip_pivot_kernel(
     posk, piv, olog = jax.lax.fori_loop(
         0, nstrips, strip_body, (posk, piv, olog)
     )
+    if quant16:
+        posk = jnp.int32(131070) - posk  # undo inversion
     pos = jax.lax.shift_right_logical(posk, jnp.int32(1))  # undo pre-double
 
     piv_ref[:] = piv
@@ -287,7 +344,8 @@ def _strip_pivot_kernel(
 
 @functools.lru_cache(maxsize=64)
 def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
-                       panel_dtype_name: str, interpret: bool = False):
+                       panel_dtype_name: str, interpret: bool = False,
+                       quant16_override: bool | None = None):
     in_dtype = jnp.dtype(in_dtype_name)
     panel_dtype = jnp.dtype(panel_dtype_name)
     # largest chunk that divides m (the chunk loop is trace-unrolled, so ch
@@ -300,11 +358,21 @@ def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
     # is validated on this target (round-3 bring-up: the strided roll
     # compiled but applied a uniform shift, breaking the packing).
     import os
+    # quant16: single-reduce pivot search for bf16 panels (the stored strip
+    # values are bf16-representable; in-strip fp32 corrections only add low
+    # bits that a bf16-granular pivot choice may ignore).  The 16-bit
+    # inverted-position field caps the window height at 65536 rows.
+    quant16 = (
+        panel_dtype == jnp.bfloat16
+        and m <= 65536
+        and os.environ.get("MPF_QUANT16", "1") != "0"
+    ) if quant16_override is None else quant16_override
     kernel = functools.partial(
         _strip_pivot_kernel, r=r, m=m, nchunk=m // ch, ch=ch,
         allow_packed=interpret,
         roll_packed=(not interpret) and m % 1024 == 0
         and os.environ.get("MPF_ROLL_PACK") == "1",
+        quant16=quant16,
     )
     return pl.pallas_call(
         kernel,
@@ -346,7 +414,7 @@ def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
 
 
 def strip_panel_pivots(panel, off, pos, panel_dtype=None, interpret=False,
-                       jj0=0, r=None):
+                       jj0=0, r=None, _quant16=None):
     """Strip-blocked virtual-pivoting panel LU.
 
     ``panel``: (m, w) working-precision slab (values at ORIGINAL row
@@ -373,6 +441,6 @@ def strip_panel_pivots(panel, off, pos, panel_dtype=None, interpret=False,
         [jnp.asarray(off, jnp.int32), jnp.asarray(jj0, jnp.int32)]
     )
     piv, pos2, glist = _build_strip_pivot(
-        m, w, r, panel.dtype.name, panel_dtype.name, interpret
+        m, w, r, panel.dtype.name, panel_dtype.name, interpret, _quant16
     )(meta, panel, pos.reshape(1, m))
     return piv[0], pos2[0], glist[0]

@@ -73,6 +73,79 @@ def test_strip_pivots_packed_path_matches_reference():
     np.testing.assert_array_equal(np.asarray(pos), inv)
 
 
+def test_strip_pivots_quant16_tie_coarsening():
+    """quant16 (default for bf16 panels) selects pivots at bf16 |value|
+    granularity: candidates equal in the top 15 bits of |fp32| tie-break to
+    the LOWEST current position; the exact two-reduce chain picks the true
+    max.  Forced onto an fp32 panel here so the sub-bf16 gap survives the
+    panel load."""
+    m, r = 128, 8
+    rng = np.random.default_rng(7)
+    a = (0.001 + rng.uniform(0, 1e-4, (m, r))).astype(np.float32)
+    a[5, 0] = 1.0
+    a[100, 0] = np.float32(1.0 + 2.0**-9)  # same bf16 bucket as 1.0
+    pos0 = jnp.arange(m, dtype=jnp.int32)
+    pivq, posq, _ = strip_panel_pivots(
+        jnp.asarray(a), 0, pos0, panel_dtype=jnp.float32, interpret=True,
+        _quant16=True)
+    pivx, _, _ = strip_panel_pivots(
+        jnp.asarray(a), 0, pos0, panel_dtype=jnp.float32, interpret=True,
+        _quant16=False)
+    assert int(pivq[0]) == 5      # coarsened tie -> lowest position
+    assert int(pivx[0]) == 100    # exact chain -> true max
+    assert np.array_equal(np.sort(np.asarray(posq)), np.arange(m))
+
+
+def _quant16_mirror(a, off, r):
+    """Numpy mirror of the quant16 single-strip semantics (r == 8): fp32
+    rank-1 in-strip updates; pivot = max of top-15-bit-truncated |value|,
+    ties to the lowest current position; divisor = the truncated, signed
+    pivot value."""
+    m = a.shape[0]
+    st = a.astype(np.float32).copy()
+    pos = np.arange(m)
+    piv = np.zeros(r, np.int64)
+    glist = np.zeros(r, np.int64)
+    for j in range(r):
+        d = off + j
+        col = np.ascontiguousarray(st[:, j])
+        bits = col.view(np.uint32)
+        tb = bits & np.uint32(0x7FFF0000)  # truncated |value| bits
+        active = pos >= d
+        mx = tb[active].max()
+        cands = np.nonzero(active & (tb == mx))[0]
+        o = cands[np.argmin(pos[cands])]   # lowest current position wins
+        piv[j] = pos[o]
+        glist[j] = o
+        pv = np.array([tb[o]], np.uint32).view(np.float32)[0]
+        if (bits[o] >> 31) & 1:
+            pv = -pv
+        safe = np.float32(1.0) if tb[o] == 0 else pv
+        disp = np.nonzero(pos == d)[0][0]
+        pos[o], pos[disp] = d, pos[o]
+        mult = np.where(pos > d, col / safe, 0.0).astype(np.float32)
+        for k in range(j + 1, r):
+            st[:, k] = st[:, k] - st[o, k] * mult
+    return piv, pos, glist
+
+
+def test_strip_pivots_quant16_matches_mirror():
+    """Forced-quant16 interpret kernel vs the numpy semantic mirror: exact
+    piv/pos/glist match on random fp32 single-strip panels."""
+    rng = np.random.default_rng(12)
+    for off in (0, 8, 40):
+        m, r = 64, 8
+        a = rng.standard_normal((m, r)).astype(np.float32)
+        pos0 = jnp.arange(m, dtype=jnp.int32)
+        piv, pos, glist = strip_panel_pivots(
+            jnp.asarray(a), off, pos0, panel_dtype=jnp.float32,
+            interpret=True, _quant16=True)
+        piv_m, pos_m, glist_m = _quant16_mirror(a, off, r)
+        np.testing.assert_array_equal(np.asarray(piv), piv_m)
+        np.testing.assert_array_equal(np.asarray(glist), glist_m)
+        np.testing.assert_array_equal(np.asarray(pos), pos_m)
+
+
 def test_strip_pivots_invariants_bf16():
     rng = np.random.default_rng(2)
     m, r, off = 256, 32, 16
