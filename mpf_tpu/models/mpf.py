@@ -473,19 +473,20 @@ def mpf_factorize_traced(
                 if config.use_pallas() and jax.default_backend() == "tpu":
                     from mpf_tpu.ops.panel_fused import (
                         rows_gather,
-                        rows_scatter_inplace,
+                        rows_scatter_from_band,
                     )
 
+                    # XLA lowers row scatter as a full-buffer rewrite (2x
+                    # the whole matrix per block column); the RMW kernel
+                    # touches only the destination granule windows,
+                    # skipping those whose rows did not actually move.
+                    # Values stream from the band rows of `a` itself
+                    # (round 3) — no band copy, no argsort/permute of a
+                    # (bc, n) values buffer; the displaced band rows are
+                    # scattered out BEFORE the gathered pivot rows land
                     pivrows = rows_gather(a, glist_b)
-                    band = a[k : k + bc, :]
+                    a = rows_scatter_from_band(a, k, dests_b)
                     a = jax.lax.dynamic_update_slice(a, pivrows, (k, 0))
-                    # XLA lowers row scatter as a full-buffer rewrite
-                    # (2x the whole matrix per block column); the RMW
-                    # kernel touches only the destination granule windows,
-                    # skipping those whose rows did not actually move
-                    a = rows_scatter_inplace(
-                        a, dests_b, band, self_src=k0 + band_idx
-                    )
                 else:
                     pivrows = jax.lax.optimization_barrier(
                         jnp.take(a, glist_b, axis=0)

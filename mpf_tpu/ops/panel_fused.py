@@ -307,12 +307,25 @@ def _rows_gather_kernel(rows_ref, first_ref, slot_ref, a_ref, out_ref,
     caller precomputes ``first`` (1 iff row i's granule differs from row
     i-1's) and ``slot`` (running count of distinct granules, mod 8), so on
     runs of adjacent source rows (diagonally dominant matrices: pivot rows
-    ARE the band) the 8x window amplification disappears entirely."""
+    ARE the band) the 8x window amplification disappears entirely.
+
+    The outgoing batch is double-buffered (round 3, like the scatter
+    kernel's window ping-pong): batch bi's write-back overlaps batch bi+1's
+    window DMAs and row selects, instead of a synchronous start()+wait()
+    serializing every 8 rows.  The 8-deep window-slot ring is likewise
+    written from at most 8 rows ahead, so a slot's previous DMA has always
+    been consumed before the (mod-8) reuse overwrites it."""
     f32 = jnp.float32
     grows = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
 
+    def out_dma(buf, j0):
+        return pltpu.make_async_copy(
+            batch_ref.at[buf], out_ref.at[pl.ds(j0, 8), :], sems.at[8 + buf]
+        )
+
     def batch(bi, _):
         j0 = pl.multiple_of(bi * 8, 8)
+        buf = bi % 2
         for jb in range(8):
             row = rows_ref[j0 + jb]
             gs = pl.multiple_of((row // g) * g, g)
@@ -340,16 +353,20 @@ def _rows_gather_kernel(rows_ref, first_ref, slot_ref, a_ref, out_ref,
                 jnp.where(grows == row % g, gbuf_ref[s].astype(f32), 0.0),
                 axis=0, keepdims=True,
             ))
-        batch_ref[:] = jnp.concatenate(rows8, axis=0).astype(batch_ref.dtype)
-        pltpu.make_async_copy(
-            batch_ref, out_ref.at[pl.ds(j0, 8), :], sems.at[8]
-        ).start()
-        pltpu.make_async_copy(
-            batch_ref, out_ref.at[pl.ds(j0, 8), :], sems.at[8]
-        ).wait()
+
+        @pl.when(bi >= 2)
+        def _():  # this buffer's previous write must land before reuse
+            out_dma(buf, pl.multiple_of((bi - 2) * 8, 8)).wait()
+
+        batch_ref[buf] = jnp.concatenate(rows8, axis=0).astype(batch_ref.dtype)
+        out_dma(buf, j0).start()
         return 0
 
-    jax.lax.fori_loop(0, nr // 8, batch, 0)
+    nb = nr // 8
+    jax.lax.fori_loop(0, nb, batch, 0)
+    out_dma((nb - 1) % 2, pl.multiple_of((nb - 1) * 8, 8)).wait()
+    if nb >= 2:  # static
+        out_dma(nb % 2, pl.multiple_of((nb - 2) * 8, 8)).wait()
 
 
 @functools.lru_cache(maxsize=64)
@@ -367,8 +384,8 @@ def _build_rows_gather(n: int, w: int, nr: int, dtype_name: str,
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),   # out (nr, w) HBM
             scratch_shapes=[
                 pltpu.VMEM((8, g, w), dt),   # granule window ring
-                pltpu.VMEM((8, w), dt),      # outgoing batch
-                pltpu.SemaphoreType.DMA((9,)),
+                pltpu.VMEM((2, 8, w), dt),   # outgoing batch (ping-pong)
+                pltpu.SemaphoreType.DMA((10,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((nr, w), dt),
@@ -377,7 +394,7 @@ def _build_rows_gather(n: int, w: int, nr: int, dtype_name: str,
             # scoped-stack accounting ran ~2 MB past the tight bound at
             # n=65536 bf16)
             vmem_limit_bytes=int(min(
-                (8 * g + 8) * w * dt.itemsize + 8 * w * 4 + (24 << 20),
+                (8 * g + 16) * w * dt.itemsize + 8 * w * 4 + (24 << 20),
                 120 << 20,
             )),
         ),
@@ -402,20 +419,32 @@ def rows_gather(a, rows, interpret=False):
     )
 
 
-def _rows_scatter_kernel(ds_ref, need_ref, act_ref, a_in_ref, vals_ref, a_ref,
-                         wbuf, vtile, sems, *, nr: int, g: int):
+def _rows_scatter_kernel(ds_ref, need_ref, act_ref, *rest,
+                         nr: int, g: int, from_band: bool = False):
     """In-place scatter of ``nr`` rows into the (n, w) HBM matrix:
-    a[ds[i], :] = vals[i, :] with ``ds`` SORTED ascending (the caller sorts
-    and permutes vals into dest order, so the values stream sequentially).
-    XLA lowers row scatter as a full-buffer rewrite (~2x the whole matrix
-    per call — 11 ms per block column at n=32768); this kernel RMWs only
-    the granule-aligned windows that actually contain destinations, and
-    skips windows whose rows are all self-moves (``need[i]``==0 — on
-    diagonally-dominant matrices pivots rarely move, so the exchange cost
-    scales with ACTUAL row movement)."""
+    a[ds[i], :] = vals[i, :] (dests in ANY order — window revisits are
+    handled by the ping-pong wait discipline).  XLA lowers row scatter as a
+    full-buffer rewrite (~2x the whole matrix per call — 11 ms per block
+    column at n=32768); this kernel RMWs only the granule-aligned windows
+    that actually contain destinations, and skips windows whose rows are
+    all skipped moves (``need[i]``==0 — on diagonally-dominant matrices
+    pivots rarely move, so the exchange cost scales with ACTUAL row
+    movement).
+
+    from_band (round 3): the value rows are the CURRENT band rows
+    a[kb + i, :] read straight out of the aliased matrix in g-row tiles
+    (dests are all outside the band, so the tile reads never race the
+    window writes) — the driver no longer materializes a (bc, w) band copy
+    or a values buffer for the exchange."""
     f32 = jnp.float32
+    if from_band:
+        kmeta_ref, a_in_ref, a_ref, wbuf, vtile, sems = rest
+        vt = g          # value-tile height
+    else:
+        a_in_ref, vals_ref, a_ref, wbuf, vtile, sems = rest
+        vt = 8
     grows = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
-    vrows = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    vrows = jax.lax.broadcasted_iota(jnp.int32, (vt, 1), 0)
 
     # Windows are double-buffered (round 3): the write-back of the finished
     # window overlaps the next window's read + row overlays, instead of the
@@ -423,8 +452,12 @@ def _rows_scatter_kernel(ds_ref, need_ref, act_ref, a_in_ref, vals_ref, a_ref,
     # Invariant: a pending write (wpend==1) is always on slot 1-cur, so it
     # is awaited exactly when that slot is about to be reused for a read.
     def win_read(gr, slot):
+        # reads go through the OUTPUT ref: on TPU it aliases the input
+        # buffer (input_output_aliases), and in interpret mode — where the
+        # two are distinct arrays — this makes window REVISITS (possible
+        # since round 3's unsorted dests) see their own earlier writes
         return pltpu.make_async_copy(
-            a_in_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), :],
+            a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), :],
             wbuf.at[slot], sems.at[slot],
         )
 
@@ -434,19 +467,26 @@ def _rows_scatter_kernel(ds_ref, need_ref, act_ref, a_in_ref, vals_ref, a_ref,
             sems.at[2 + slot],
         )
 
-    def vt_read(t):
-        return pltpu.make_async_copy(vals_ref.at[t], vtile, sems.at[4])
+    if from_band:
+        def vt_read(t):
+            kb = pl.multiple_of(kmeta_ref[0] + t * g, g)
+            return pltpu.make_async_copy(
+                a_ref.at[pl.ds(kb, g), :], vtile, sems.at[4]
+            )
+    else:
+        def vt_read(t):
+            return pltpu.make_async_copy(vals_ref.at[t], vtile, sems.at[4])
 
     vt_read(0).start()
     vt_read(0).wait()
 
     def body(i, carry):
         last_gr, have, cur, wpend, wgr = carry
-        # new values tile every 8 rows (vals stream in dest order)
-        @pl.when((i % 8 == 0) & (i > 0))
+        # new values tile every vt rows (values stream in dest order)
+        @pl.when((i % vt == 0) & (i > 0))
         def _():
-            vt_read(i // 8).start()
-            vt_read(i // 8).wait()
+            vt_read(i // vt).start()
+            vt_read(i // vt).wait()
 
         gr = ds_ref[i] // g
         nd = need_ref[i] != 0
@@ -454,7 +494,11 @@ def _rows_scatter_kernel(ds_ref, need_ref, act_ref, a_in_ref, vals_ref, a_ref,
         nxt = jnp.where(have == 0, cur, 1 - cur)
 
         @pl.when(switch & (wpend == 1))
-        def _():  # slot nxt's previous write must land before its reuse
+        def _():  # slot nxt's previous write must land before its reuse;
+            # ALSO before re-reading the same window (dests arrive in any
+            # order since round 3 — a revisited window must see its pending
+            # write).  wgr's write is always on slot nxt, so one wait covers
+            # both hazards (the revisit read goes to slot nxt).
             win_write(wgr, nxt).wait()
 
         @pl.when(switch & (have == 1))
@@ -475,7 +519,7 @@ def _rows_scatter_kernel(ds_ref, need_ref, act_ref, a_in_ref, vals_ref, a_ref,
         @pl.when(nd & (act_ref[i] != 0))
         def _():
             vrow = jnp.sum(
-                jnp.where(vrows == i % 8, vtile[:].astype(f32), 0.0),
+                jnp.where(vrows == i % vt, vtile[:].astype(f32), 0.0),
                 axis=0, keepdims=True,
             ).astype(wbuf.dtype)
             wbuf[cur] = jnp.where(grows == ds_ref[i] % g, vrow, wbuf[cur])
@@ -500,32 +544,43 @@ def _rows_scatter_kernel(ds_ref, need_ref, act_ref, a_in_ref, vals_ref, a_ref,
 
 @functools.lru_cache(maxsize=64)
 def _build_rows_scatter(n: int, w: int, nr: int, dtype_name: str,
-                        interpret: bool = False):
+                        interpret: bool = False, from_band: bool = False):
     dt = jnp.dtype(dtype_name)
     g = _granule(dt)
     assert nr % 8 == 0, nr
-    kernel = functools.partial(_rows_scatter_kernel, nr=nr, g=g)
+    kernel = functools.partial(_rows_scatter_kernel, nr=nr, g=g,
+                               from_band=from_band)
+    if from_band:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]   # a only
+        nsp = 4       # ds, need, act, kmeta
+        vtile = pltpu.VMEM((g, w), dt)
+        aliases = {4: 0}
+    else:
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),  # a (n, w) HBM (aliased)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # vals (nr/8, 8, w) HBM
+        ]
+        nsp = 3
+        vtile = pltpu.VMEM((8, w), dt)
+        aliases = {3: 0}
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,  # ds (nr,) sorted, need (nr,), act (nr,)
+            num_scalar_prefetch=nsp,
             grid=(),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # a (n, w) HBM (aliased)
-                pl.BlockSpec(memory_space=pltpu.ANY),  # vals (nr/8, 8, w) HBM
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, g, w), dt),   # granule window (double-buffered)
-                pltpu.VMEM((8, w), dt),      # values tile
+                vtile,                       # values tile
                 pltpu.SemaphoreType.DMA((5,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n, w), dt),
-        input_output_aliases={3: 0},  # a (after the 3 scalar-prefetch args)
+        input_output_aliases=aliases,  # a (after the scalar-prefetch args)
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(min(
-                (2 * g + 8) * w * dt.itemsize + 8 * w * 4 + (24 << 20),
+                (2 * g + max(g, 8)) * w * dt.itemsize + 8 * w * 4 + (24 << 20),
                 120 << 20
             )),
             has_side_effects=True,
@@ -541,9 +596,16 @@ def rows_scatter_inplace(a, dests, vals, self_src=None, active=None,
     bitwise-identical ``vals`` (then write order is immaterial).  The fused
     dist panel exchange relies on the relaxed form: when a pivot is chosen
     from inside the band, position off+j appears in both halves of its
-    ``cand`` with the same row values (`parallel/dist_lu.py`).  Dests are
-    sorted here and the values permuted to match, so the kernel streams
-    windows in ascending address order.
+    ``cand`` with the same row values (`parallel/dist_lu.py`).
+
+    Dests are consumed IN THE GIVEN ORDER (round 3): the window ping-pong's
+    pending write always sits on the about-to-be-reused slot and is awaited
+    before every new window read, so revisits are safe and no sorting is
+    required.  Earlier rounds argsorted dests and permuted ``vals`` to
+    match — an XLA row gather of the full (nr, w) values buffer (~128 MB,
+    several ms per block column at n=65536) purely to maximize
+    consecutive-window dedup, which caller orders (band order: dests are
+    near-ascending on the headline corpus) already provide.
 
     ``self_src`` (optional): the CURRENT physical row of each value — rows
     with dests[i] == self_src[i] are no-ops, and granule windows consisting
@@ -561,10 +623,8 @@ def rows_scatter_inplace(a, dests, vals, self_src=None, active=None,
         else active.astype(jnp.int32)
     )
     dests = jnp.where(act != 0, dests, 0)  # clamp dropped rows in-bounds
-    order = jnp.argsort(dests)
-    ds = jnp.take(dests, order).astype(jnp.int32)
-    vs = jnp.take(vals, order, axis=0).reshape(nr // 8, 8, w)
-    acts = jnp.take(act, order)
+    ds = dests.astype(jnp.int32)
+    vs = vals.reshape(nr // 8, 8, w)
     if self_src is None:
         nonself = act
     else:
@@ -574,7 +634,37 @@ def rows_scatter_inplace(a, dests, vals, self_src=None, active=None,
     wneed = jnp.zeros((n // g,), jnp.int32).at[dests // g].max(nonself)
     need = jnp.take(wneed, ds // g)
     return _build_rows_scatter(n, w, nr, a.dtype.name, interpret)(
-        ds, need, acts, a, vs
+        ds, need, act, a, vs
+    )
+
+
+def rows_scatter_from_band(a, k, dests, interpret=False):
+    """Exchange scatter with values read from the band: a[dests[i], :] =
+    a[k + i, :] for every i whose ``dests[i]`` lies OUTSIDE the band
+    [k, k + nr).  In-band destinations are exactly the rows about to be
+    overwritten by the caller's dynamic-update-slice of the gathered pivot
+    rows (swap chains bottom out in the band, so an in-band dest always
+    carries the same values the gather delivers), and self-moves are
+    in-band by definition (dest == k + i) — both are skipped here.
+
+    Replaces the round-2 sequence [band = a[k:k+nr] slice copy -> argsort
+    -> jnp.take of the (nr, w) band into dest order -> vals-based scatter]:
+    at n=65536 bf16 that moved ~3 extra full band passes (~256 MB each) of
+    XLA slice/gather per block column before the RMW kernel even ran; here
+    the band rows stream through a VMEM tile at DMA speed straight out of
+    the aliased matrix (dests are outside the band, so tile reads never
+    race the window writes).  ``k`` (traced) must be granule-aligned."""
+    n, w = a.shape
+    g = _granule(a.dtype)
+    nr = int(dests.shape[0])
+    k = jnp.asarray(k, jnp.int32)
+    act = ((dests < k) | (dests >= k + nr)).astype(jnp.int32)
+    ds = jnp.where(act != 0, dests, 0).astype(jnp.int32)
+    # window needed iff ANY of its destinations is a real out-of-band move
+    wneed = jnp.zeros((n // g,), jnp.int32).at[ds // g].max(act)
+    need = jnp.take(wneed, ds // g)
+    return _build_rows_scatter(n, w, nr, a.dtype.name, interpret, True)(
+        ds, need, act, k.reshape(1), a
     )
 
 

@@ -52,6 +52,106 @@ _W = 8          # strip width (sublane granule of the fp32 transposed panel)
 _CHUNK = 1024   # rows per transpose-load DMA chunk
 
 
+def _search_column(colv3, posk, d2, quant16):
+    """The per-column pivot search chain, shape-agnostic (works on the flat
+    (1, m) vectors of `_strip_pivot_kernel` and the (8, ml) group-major
+    tiles of `_strip_pivot_kernel_gm` alike).
+
+    Returns ``(winner, posk', cpk, safe)``: the winner lane mask, the
+    updated position-key state, the pivot's doubled position (1, 1), and
+    the signed division-safe pivot value (1, 1).
+
+    quant16=False (exact, fp32 panels): TWO cross-lane reductions — max
+    over the int32 bit patterns of |colv| (monotone for non-negative IEEE
+    floats, recovers |pivval| for free), then min over the (pos << 1 |
+    sign) keys among the max-abs ties (lowest CURRENT POSITION wins,
+    reference strict-'>' scan semantics, `hgetf2_kernel.cu:68-82`; the low
+    bit carries the winner's sign).  ``posk`` carries pos << 1.
+
+    quant16=True (bf16 panels): ONE reduction — max over the packed key
+    [abs_top15 | invpos16 | sign], compared as int32 after an
+    order-preserving u32->i32 XOR bias.  ``posk`` carries the INVERTED
+    doubled position (65535 - pos) << 1.  Pivot selection happens at bf16
+    |value| granularity with ties coarsened to the lowest current
+    position, and the divisor is the top-15-bit-truncated pivot value —
+    both safe because the panel factors are DISCARDED (reference
+    semantics, `MPF.cu:120-145`); only which of two near-equal pivots is
+    picked can change (|chosen| >= (1 - 2^-8)|max|).
+
+    (The multiplier divide downstream stays a true vector divide: a scalar
+    reciprocal + multiply would double-round and break bit parity with the
+    jnp reference kernel.)
+    """
+    f32 = jnp.float32
+    bits = jax.lax.bitcast_convert_type(colv3, jnp.int32)
+    if quant16:
+        id2 = jnp.int32(131070) - d2   # inverted doubled diagonal
+        sgn = jax.lax.shift_right_logical(bits, jnp.int32(31))
+        ks = jnp.bitwise_xor(
+            jnp.left_shift(
+                jnp.bitwise_and(bits, jnp.int32(0x7FFF0000)), jnp.int32(1)
+            ),
+            jnp.int32(-(2**31)),
+        )
+        kx = jnp.where(
+            posk <= id2,                   # pos >= d (active)
+            jnp.bitwise_or(jnp.bitwise_or(ks, posk), sgn),
+            jnp.int32(-(2**31)),
+        )
+        kmx = jnp.max(kx, keepdims=True).reshape(1, 1)
+        winner = kx == kmx
+        # (1, 1) scalar decode, off the vector chain
+        ku = jnp.bitwise_xor(kmx, jnp.int32(-(2**31)))
+        wk = jnp.bitwise_and(ku, jnp.int32(0x1FFFE))  # winner invposk
+        awb = jnp.bitwise_and(
+            jax.lax.shift_right_logical(ku, jnp.int32(1)),
+            jnp.int32(0x7FFF0000),
+        )                                  # truncated |pivval| bits
+        mxf = jax.lax.bitcast_convert_type(awb, f32)
+        pivval = jnp.where(jnp.bitwise_and(ku, 1) == 1, -mxf, mxf)
+        safe = jnp.where(awb == 0, f32(1), pivval)
+        cpk = jnp.int32(131070) - wk       # pivot posk (doubled pos)
+        posk = jnp.where(winner, id2, jnp.where(posk == id2, wk, posk))
+    else:
+        absb = jnp.bitwise_and(bits, jnp.int32(0x7FFFFFFF))
+        masked = jnp.where(posk >= d2, absb, jnp.int32(-1))
+        mxb = jnp.max(masked, keepdims=True).reshape(1, 1)
+        sgn = jax.lax.shift_right_logical(bits, jnp.int32(31))
+        key = jnp.where(
+            masked == mxb,
+            jnp.bitwise_or(posk, sgn),
+            jnp.int32(2**31 - 1),
+        )
+        kmin = jnp.min(key, keepdims=True).reshape(1, 1)
+        cpk = jnp.bitwise_and(kmin, jnp.int32(-2))  # pivot posk (even)
+        winner = posk == cpk
+        # the lane displaced from the diagonal is identified by posk==d2
+        # directly — no winner/displaced map maintenance
+        posk = jnp.where(winner, d2, jnp.where(posk == d2, cpk, posk))
+        # pivot value reconstructed from the two reduces, bit-exact:
+        # |pivval| = mxb reinterpreted, sign = key's low bit
+        mxf = jax.lax.bitcast_convert_type(mxb, f32)
+        pivval = jnp.where(jnp.bitwise_and(kmin, 1) == 1, -mxf, mxf)
+        safe = jnp.where(mxb == 0, f32(1), pivval)      # (1,1) scalar
+    return winner, posk, cpk, safe
+
+
+def _posk_init(pos, quant16):
+    return (jnp.int32(131070) - (pos << 1)) if quant16 else (pos << 1)
+
+
+def _below_diag(posk, d2, quant16):
+    """Mask of lanes strictly below the diagonal (pos > d), in whichever
+    key space ``posk`` carries."""
+    return (posk < jnp.int32(131070) - d2) if quant16 else (posk > d2)
+
+
+def _posk_final(posk, quant16):
+    if quant16:
+        posk = jnp.int32(131070) - posk  # undo inversion
+    return jax.lax.shift_right_logical(posk, jnp.int32(1))
+
+
 def _strip_pivot_kernel(
     meta_ref, panel_ref, pos_in_ref,
     piv_ref, pos_ref, glist_ref,
@@ -130,10 +230,7 @@ def _strip_pivot_kernel(
     # position (65535 - pos) << 1, so the single packed search key
     # [abs_top15 | invpos16 | sign] is max-reduced in ONE cross-lane
     # reduction (see col_body).
-    if quant16:
-        posk = pk(jnp.int32(131070) - (pos_in_ref[:] << 1))
-    else:
-        posk = pk(pos_in_ref[:] << 1)
+    posk = pk(_posk_init(pos_in_ref[:], quant16))
     piv = pivlanes + off
     # olog[j] = the ORIGINAL ROW chosen as column j's pivot.  Position
     # off+j is final once column j completes (later swaps only touch
@@ -186,75 +283,8 @@ def _strip_pivot_kernel(
             # divide stays a true vector divide: a scalar reciprocal +
             # multiply would double-round and break bit parity with the jnp
             # reference kernel.)
-            bits = jax.lax.bitcast_convert_type(colv3, jnp.int32)
-            if quant16:
-                # ---- quant16 (round 3c, bf16 panels): ONE cross-lane max
-                # reduce per column.  The panel values are bf16 at strip
-                # load (t_ref is bf16), so their fp32 |bits| top 15 bits
-                # [sign-less exponent+7-bit mantissa] ARE the value; only
-                # the <=7 in-strip fp32 corrections add low bits, and the
-                # panel factors are DISCARDED (reference semantics,
-                # `MPF.cu:120-145`) — pivot selection at bf16 granularity
-                # with coarsened ties (equal top-15-bit |value| -> lowest
-                # current position, a strict superset of the reference's
-                # tie rule `hgetf2_kernel.cu:68-82`) and a top-15-bit
-                # truncated divisor change ONLY which near-equal pivot is
-                # picked, never pivot quality (|chosen| >= (1 - 2^-8)|max|).
-                # Key (unsigned): [abs15 : 31..17][invpos16 : 16..1][sign: 0],
-                # compared as int32 after XOR 0x8000_0000 (order-preserving
-                # u32 -> i32 bias).  posk carries invposk so the key needs
-                # no per-lane arithmetic beyond mask/or.
-                id2 = jnp.int32(131070) - d2   # inverted doubled diagonal
-                sgn = jax.lax.shift_right_logical(bits, jnp.int32(31))
-                ks = jnp.bitwise_xor(
-                    jnp.left_shift(
-                        jnp.bitwise_and(bits, jnp.int32(0x7FFF0000)),
-                        jnp.int32(1),
-                    ),
-                    jnp.int32(-(2**31)),
-                )
-                kx = jnp.where(
-                    posk <= id2,                   # pos >= d (active)
-                    jnp.bitwise_or(jnp.bitwise_or(ks, posk), sgn),
-                    jnp.int32(-(2**31)),
-                )
-                kmx = jnp.max(kx, keepdims=True).reshape(1, 1)
-                winner = kx == kmx
-                # (1, 1) scalar decode, off the vector chain
-                ku = jnp.bitwise_xor(kmx, jnp.int32(-(2**31)))
-                wk = jnp.bitwise_and(ku, jnp.int32(0x1FFFE))  # winner invposk
-                awb = jnp.bitwise_and(
-                    jax.lax.shift_right_logical(ku, jnp.int32(1)),
-                    jnp.int32(0x7FFF0000),
-                )                                  # truncated |pivval| bits
-                mxf = jax.lax.bitcast_convert_type(awb, f32)
-                pivval = jnp.where(jnp.bitwise_and(ku, 1) == 1, -mxf, mxf)
-                safe = jnp.where(awb == 0, f32(1), pivval)
-                cpk = jnp.int32(131070) - wk       # pivot posk (doubled pos)
-                posk = jnp.where(winner, id2, jnp.where(posk == id2, wk, posk))
-                below = posk < id2                 # pos > d
-            else:
-                absb = jnp.bitwise_and(bits, jnp.int32(0x7FFFFFFF))
-                masked = jnp.where(posk >= d2, absb, jnp.int32(-1))
-                mxb = jnp.max(masked, keepdims=True).reshape(1, 1)
-                sgn = jax.lax.shift_right_logical(bits, jnp.int32(31))
-                key = jnp.where(
-                    masked == mxb,
-                    jnp.bitwise_or(posk, sgn),
-                    jnp.int32(2**31 - 1),
-                )
-                kmin = jnp.min(key, keepdims=True).reshape(1, 1)
-                cpk = jnp.bitwise_and(kmin, jnp.int32(-2))  # pivot posk (even)
-                winner = posk == cpk
-                # the lane displaced from the diagonal is identified by
-                # posk==d2 directly — no winner/displaced map maintenance
-                posk = jnp.where(winner, d2, jnp.where(posk == d2, cpk, posk))
-                # pivot value reconstructed from the two reduces, bit-exact:
-                # |pivval| = mxb reinterpreted, sign = key's low bit
-                mxf = jax.lax.bitcast_convert_type(mxb, f32)
-                pivval = jnp.where(jnp.bitwise_and(kmin, 1) == 1, -mxf, mxf)
-                safe = jnp.where(mxb == 0, f32(1), pivval)      # (1,1) scalar
-                below = posk > d2
+            winner, posk, cpk, safe = _search_column(colv3, posk, d2, quant16)
+            below = _below_diag(posk, d2, quant16)
             o1 = jnp.sum(jnp.where(winner, lanes3, 0), keepdims=True
                          ).reshape(1, 1)
             piv = jnp.where(pivlanes == s0 + jc,
@@ -328,9 +358,7 @@ def _strip_pivot_kernel(
     posk, piv, olog = jax.lax.fori_loop(
         0, nstrips, strip_body, (posk, piv, olog)
     )
-    if quant16:
-        posk = jnp.int32(131070) - posk  # undo inversion
-    pos = jax.lax.shift_right_logical(posk, jnp.int32(1))  # undo pre-double
+    pos = _posk_final(posk, quant16)
 
     piv_ref[:] = piv
     if roll_packed and packable:
@@ -342,10 +370,175 @@ def _strip_pivot_kernel(
     glist_ref[:] = olog  # olog[j] == final occupant of position off+j
 
 
+def _strip_pivot_kernel_gm(
+    meta_ref, panel_ref, pos_in_ref,
+    piv_ref, pos_ref, glist_ref,
+    t_ref, chunk_ref, sem,
+    *, r: int, m: int, nchunk: int, ch: int, quant16: bool = False,
+):
+    """Group-major strip pivot kernel (round 3, VERDICT r2 item 1).
+
+    The flat kernel's per-column chain runs on (1, m) vectors — ONE sublane
+    of every vreg, 1/8 VPU width — and dominated the A1 stage (331 ms of
+    the 1766 ms n=65536 ALL_BF16 factorization).  Mosaic rejects
+    lane<->sublane value casts, so instead the ENTIRE kernel works in a
+    group-major row space: original row ``sigma(s, l) = (7-s)*ml + l`` with
+    ml = m/8 (the reversed-row split the interpret-mode packed path always
+    used), where every chain op is an (8, ml) FULL vector tile.
+
+      * the transposed panel is stored S-MAJOR, ``t_ref[s, c, l] =
+        panel[sigma(s, l), c]``: chunk loads write whole (r, ch) tiles of
+        one s-plane (``ml % ch == 0`` keeps chunks inside a plane), and
+        strip reads slice the aligned sublane range [s0, s0+W);
+      * strip values transpose (1,0,2) between S-major storage and the
+        C-major (W, 8, ml) working form once per strip (compiled-verified
+        on this toolchain) — colv for column jc is then ``st[jc]``, a free
+        dim-0 tile select (the flat kernel paid a masked (W, m) reduce);
+      * the deferred rank-W updates contract the packed row space with
+        batch-dim-0 ``dot_general`` (compiled-verified; multi-dim
+        contraction and batch-at-dim-1 are both rejected), summing 8
+        per-plane (W, W) partials — each selector row has exactly ONE
+        nonzero, so every partial sum is exact and the kernel is
+        BIT-IDENTICAL to the flat kernel (tested);
+      * ``pos`` crosses the kernel boundary in group-major (8, ml) form;
+        the wrapper converts with an XLA reshape+reverse of the (m,) int32
+        map — trivial at these sizes.
+    """
+    dt = t_ref.dtype
+    f32 = jnp.float32
+    ml = m // 8
+    jj0 = pl.multiple_of(meta_ref[1], min(r, 128))
+
+    def chunk_dma(slot, c):
+        return pltpu.make_async_copy(
+            panel_ref.at[pl.ds(c * ch, ch), pl.ds(jj0, r)],
+            chunk_ref.at[slot],
+            sem.at[slot],
+        )
+
+    chunk_dma(0, 0).start()
+    for c in range(nchunk):
+        if c + 1 < nchunk:
+            chunk_dma((c + 1) % 2, c + 1).start()
+        chunk_dma(c % 2, c).wait()
+        sp = 7 - (c * ch) // ml          # static: the chunk's s-plane
+        l0 = (c * ch) % ml
+        t_ref[sp, :, pl.ds(l0, ch)] = jnp.swapaxes(
+            chunk_ref[c % 2].astype(dt), 0, 1
+        )
+
+    off = meta_ref[0]
+    pivlanes = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
+    wlanes = jax.lax.broadcasted_iota(jnp.int32, (1, _W), 1)
+    wrows = jax.lax.broadcasted_iota(jnp.int32, (_W, 1), 0)
+    wrows3 = jax.lax.broadcasted_iota(jnp.int32, (_W, 1, 1), 0)
+    # lanes3[s, l] = sigma(s, l), the original row id at gm position (s, l)
+    lanes3 = (
+        (7 - jax.lax.broadcasted_iota(jnp.int32, (8, ml), 0)) * ml
+        + jax.lax.broadcasted_iota(jnp.int32, (8, ml), 1)
+    )
+
+    posk = _posk_init(pos_in_ref[:], quant16)        # (8, ml) state
+    piv = pivlanes + off
+    olog = pivlanes + off
+    nstrips = r // _W
+    hi = jax.lax.Precision.HIGHEST if dt == f32 else None
+    bdn = (((2,), (2,)), ((0,), (0,)))   # batch s-planes, contract lanes
+
+    def strip_body(s, carry0):
+        posk, piv, olog = carry0
+        s0 = pl.multiple_of(s * _W, _W)
+        # C-major working strip: st[jc] = column jc's values over (8, ml)
+        st = jnp.transpose(
+            t_ref[:, pl.ds(s0, _W), :].astype(f32), (1, 0, 2)
+        )
+        mbuf = jnp.zeros((_W, 8, ml), f32)
+        olist = jnp.zeros((1, _W), jnp.int32)
+
+        def col_body(jc, carry):
+            st, mbuf, olist, posk, piv, olog = carry
+            d2 = 2 * (off + s0 + jc)
+            colv3 = st[jc]                             # free tile select
+            winner, posk, cpk, safe = _search_column(colv3, posk, d2, quant16)
+            below = _below_diag(posk, d2, quant16)
+            o1 = jnp.sum(jnp.where(winner, lanes3, 0), keepdims=True
+                         ).reshape(1, 1)
+            piv = jnp.where(pivlanes == s0 + jc,
+                            jax.lax.shift_right_logical(cpk, jnp.int32(1)),
+                            piv)
+            olog = jnp.where(pivlanes == s0 + jc, o1, olog)
+            olist = jnp.where(wlanes == jc, o1, olist)
+            mult3 = jnp.where(below, colv3 / safe, 0.0)        # (8, ml)
+            mbuf = jnp.where(wrows3 == jc, mult3[None], mbuf)
+            # in-strip elimination: the winner row's value in every strip
+            # column at once (one nonzero per sum — exact in any order)
+            ucol = jnp.sum(
+                jnp.sum(jnp.where(winner[None], st, 0.0), axis=2,
+                        keepdims=True),
+                axis=1, keepdims=True,
+            )                                                   # (W, 1, 1)
+            ucol = jnp.where(wrows3 > jc, ucol, 0.0)
+            st = st - ucol * mult3[None]
+            return st, mbuf, olist, posk, piv, olog
+
+        carry = (st, mbuf, olist, posk, piv, olog)
+        for jc in range(_W):
+            carry = col_body(jc, carry)
+        st, mbuf, olist, posk, piv, olog = carry
+        t_ref[:, pl.ds(s0, _W), :] = jnp.transpose(st, (1, 0, 2)).astype(dt)
+
+        # ---- deferred rank-W update of all future strips (MXU) ------------
+        mq_s = jnp.transpose(mbuf.astype(dt), (1, 0, 2))        # (8, W, ml)
+        sel_s = (
+            jnp.swapaxes(olist, 0, 1)[None] == lanes3[:, None, :]
+        ).astype(dt)                                             # (8, W, ml)
+
+        def sel_extract(x_s):
+            # (8, W, ml) -> (W, W): x[j', o_j] — per-plane batched dots,
+            # exactly one nonzero selector per (j', j) so the 8-partial sum
+            # is bit-identical to the flat kernel's single m-lane dot
+            p = jax.lax.dot_general(
+                x_s, sel_s, bdn, preferred_element_type=f32, precision=hi
+            )
+            return jnp.sum(p, axis=0)
+
+        nmat = sel_extract(mq_s)
+        eye = (wrows == wlanes).astype(f32)
+        vinv = eye - nmat
+        p = -nmat
+        for _ in range(_W - 2):
+            p = jnp.dot(-nmat, p, preferred_element_type=f32)
+            vinv = vinv + p
+
+        def upd_body(s2, _):
+            so = pl.multiple_of(s2 * _W, _W)
+            tk = t_ref[:, pl.ds(so, _W), :]                     # (8, W, ml)
+            u = jnp.dot(sel_extract(tk), vinv,
+                        preferred_element_type=f32)             # (W, W)
+            ub = jnp.broadcast_to(u.astype(dt)[None], (8, _W, _W))
+            upd = jax.lax.dot_general(
+                ub, mq_s, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32, precision=hi,
+            )                                                    # (8, W, ml)
+            t_ref[:, pl.ds(so, _W), :] = (tk.astype(f32) - upd).astype(dt)
+            return 0
+
+        jax.lax.fori_loop(s + 1, nstrips, upd_body, 0)
+        return posk, piv, olog
+
+    posk, piv, olog = jax.lax.fori_loop(
+        0, nstrips, strip_body, (posk, piv, olog)
+    )
+    piv_ref[:] = piv
+    pos_ref[:] = _posk_final(posk, quant16)
+    glist_ref[:] = olog
+
+
 @functools.lru_cache(maxsize=64)
 def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
                        panel_dtype_name: str, interpret: bool = False,
-                       quant16_override: bool | None = None):
+                       quant16_override: bool | None = None,
+                       gm: bool = False):
     in_dtype = jnp.dtype(in_dtype_name)
     panel_dtype = jnp.dtype(panel_dtype_name)
     # largest chunk that divides m (the chunk loop is trace-unrolled, so ch
@@ -367,6 +560,54 @@ def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
         and m <= 65536
         and os.environ.get("MPF_QUANT16", "1") != "0"
     ) if quant16_override is None else quant16_override
+    # group-major kernel: the full-vector-width row space (see
+    # `_strip_pivot_kernel_gm`); bit-identical to the flat kernel, so it is
+    # the default wherever its layout constraints hold (the wrapper decides
+    # and passes ``gm`` explicitly — it is part of the build cache key)
+    if gm:
+        ml = m // 8
+        chg = ml if ml <= _CHUNK else math.gcd(ml, _CHUNK)
+        kernel = functools.partial(
+            _strip_pivot_kernel_gm, r=r, m=m, nchunk=m // chg, ch=chg,
+            quant16=quant16,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,  # meta (2,) = [off, jj0]
+                grid=(),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.ANY),   # (m, w) slab HBM
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # pos in (8, ml)
+                ],
+                out_specs=(
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # piv (1, r)
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # pos out (8, ml)
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # glist (1, r)
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((8, r, ml), panel_dtype),   # S-major panel
+                    pltpu.VMEM((2, chg, r), in_dtype),     # transpose chunks
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, r), jnp.int32),
+                jax.ShapeDtypeStruct((8, ml), jnp.int32),
+                jax.ShapeDtypeStruct((1, r), jnp.int32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                # S-major panel + chunk ring + the C-major strip/multiplier
+                # values (2 x (W, 8, ml) f32) + chain temporaries
+                vmem_limit_bytes=int(min(
+                    m * r * panel_dtype.itemsize
+                    + 2 * chg * r * in_dtype.itemsize
+                    + 128 * m + (48 << 20),
+                    120 << 20,
+                )),
+            ),
+            interpret=interpret,
+        )
     kernel = functools.partial(
         _strip_pivot_kernel, r=r, m=m, nchunk=m // ch, ch=ch,
         allow_packed=interpret,
@@ -434,13 +675,23 @@ def strip_panel_pivots(panel, off, pos, panel_dtype=None, interpret=False,
     maintained; callers compose their global row maps boundedly from
     ``glist`` + ``pos``.  The low-precision factors are discarded
     (reference semantics, `MPF.cu:120-145`)."""
+    import os
+
     m, w = panel.shape
     r = w if r is None else r
     panel_dtype = jnp.dtype(panel_dtype or panel.dtype)
     meta = jnp.stack(
         [jnp.asarray(off, jnp.int32), jnp.asarray(jj0, jnp.int32)]
     )
-    piv, pos2, glist = _build_strip_pivot(
-        m, w, r, panel.dtype.name, panel_dtype.name, interpret, _quant16
-    )(meta, panel, pos.reshape(1, m))
+    gm = m % 1024 == 0 and os.environ.get("MPF_GM", "1") != "0"
+    fn = _build_strip_pivot(
+        m, w, r, panel.dtype.name, panel_dtype.name, interpret, _quant16, gm
+    )
+    if gm:
+        # group-major kernel: pos crosses the boundary as the (8, ml)
+        # reversed-row split (XLA-side conversion of an (m,) int32 map)
+        ml = m // 8
+        piv, pos2, glist = fn(meta, panel, pos.reshape(8, ml)[::-1])
+        return piv[0], pos2[::-1].reshape(m), glist[0]
+    piv, pos2, glist = fn(meta, panel, pos.reshape(1, m))
     return piv[0], pos2[0], glist[0]

@@ -245,6 +245,87 @@ def test_trailing_gemm_sub_matches_xla():
         np.testing.assert_array_equal(out[:, :ko], ad[:, :ko])
 
 
+def test_rows_gather_interpret():
+    """DMA row gather vs jnp.take, mixed window-sharing/random sources
+    (the batch write-back is double-buffered — round 3)."""
+    from mpf_tpu.ops.panel_fused import rows_gather
+
+    rng = np.random.default_rng(21)
+    n, w = 256, 256
+    a = rng.standard_normal((n, w)).astype(np.float32)
+    for nr, mode in ((8, "runs"), (32, "random"), (64, "mixed")):
+        if mode == "runs":
+            rows = np.arange(100, 100 + nr)
+        elif mode == "random":
+            rows = rng.permutation(n)[:nr]
+        else:
+            rows = np.concatenate([np.arange(40, 40 + nr // 2),
+                                   rng.permutation(n)[: nr // 2]])
+        out = rows_gather(jnp.asarray(a), jnp.asarray(rows, jnp.int32),
+                          interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), a[rows])
+
+
+def test_rows_scatter_inplace_interpret():
+    """Granule-window RMW scatter vs .at[].set on unique destinations,
+    including self-move skipping."""
+    from mpf_tpu.ops.panel_fused import rows_scatter_inplace
+
+    rng = np.random.default_rng(22)
+    n, w, nr = 256, 256, 32
+    a = rng.standard_normal((n, w)).astype(np.float32)
+    dests = rng.permutation(n)[:nr]
+    vals = rng.standard_normal((nr, w)).astype(np.float32)
+    out = rows_scatter_inplace(
+        jnp.asarray(a), jnp.asarray(dests, jnp.int32), jnp.asarray(vals),
+        interpret=True)
+    exp = a.copy()
+    exp[dests] = vals
+    np.testing.assert_array_equal(np.asarray(out), exp)
+    # self-moves: value rows equal to current rows at those dests are no-ops
+    self_src = np.asarray(dests, np.int32).copy()
+    out2 = rows_scatter_inplace(
+        jnp.asarray(exp), jnp.asarray(dests, jnp.int32), jnp.asarray(vals),
+        self_src=jnp.asarray(self_src), interpret=True)
+    np.testing.assert_array_equal(np.asarray(out2), exp)
+    # window-revisit stress (dests unsorted since round 3): alternate
+    # between two granule windows so every row re-reads a window with a
+    # pending write
+    dests_ab = np.empty(16, np.int64)
+    dests_ab[0::2] = np.arange(8)        # window 0 rows 0..7
+    dests_ab[1::2] = 64 + np.arange(8)   # window 8 rows 64..71
+    vals_ab = rng.standard_normal((16, w)).astype(np.float32)
+    out3 = rows_scatter_inplace(
+        jnp.asarray(a), jnp.asarray(dests_ab, jnp.int32),
+        jnp.asarray(vals_ab), interpret=True)
+    exp3 = a.copy()
+    exp3[dests_ab] = vals_ab
+    np.testing.assert_array_equal(np.asarray(out3), exp3)
+
+
+def test_rows_scatter_from_band_interpret():
+    """Band-source scatter: out-of-band dests receive the band rows,
+    in-band dests (incl. self-moves) are skipped, everything else is
+    untouched — the driver's exchange semantics."""
+    from mpf_tpu.ops.panel_fused import rows_scatter_from_band
+
+    rng = np.random.default_rng(23)
+    n, w, k, nr = 256, 128, 64, 32
+    a = rng.standard_normal((n, w)).astype(np.float32)
+    dests = np.empty(nr, np.int64)
+    dests[:8] = k + np.arange(8)              # self-moves (in-band)
+    dests[8:16] = k + 16 + np.arange(8)       # in-band non-self
+    dests[16:] = np.concatenate([             # out-of-band, unsorted
+        np.arange(160, 168), rng.permutation(np.arange(128, 152))[:8]])
+    out = np.asarray(rows_scatter_from_band(
+        jnp.asarray(a), k, jnp.asarray(dests, jnp.int32), interpret=True))
+    exp = a.copy()
+    for i in range(nr):
+        if not (k <= dests[i] < k + nr):
+            exp[dests[i]] = a[k + i]
+    np.testing.assert_array_equal(out, exp)
+
+
 def test_trailing_segments():
     """Row-range split: ti-aligned core + <=3-tile edge strips, exhaustive
     over every (ko, m) the n=65536 fused driver produces."""
