@@ -38,6 +38,14 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def combined_exchange() -> bool:
+    """``MPF_XCHG`` selects the physical-exchange implementation on the
+    fused path: ``combined`` (default — the one-sweep kernel in
+    `ops/exchange.py`: each out-of-band granule window read once) or
+    ``split`` (the round-2 pair rows_gather + rows_scatter_from_band)."""
+    return os.environ.get("MPF_XCHG", "combined") != "split"
+
+
 def ablate(stage: str) -> bool:
     """Trace-time perf-attribution knob: ``MPF_ABLATE`` is a comma list of
     driver stages to skip (results become WRONG — measurement only).

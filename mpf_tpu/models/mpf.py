@@ -471,21 +471,28 @@ def mpf_factorize_traced(
             if not config.ablate("exchange"):
                 glist_b = k0 + olog_l  # pivot-row sources (original rows)
                 if config.use_pallas() and jax.default_backend() == "tpu":
-                    from mpf_tpu.ops.panel_fused import (
-                        rows_gather,
-                        rows_scatter_from_band,
-                    )
-
                     # XLA lowers row scatter as a full-buffer rewrite (2x
-                    # the whole matrix per block column); the RMW kernel
-                    # touches only the destination granule windows,
-                    # skipping those whose rows did not actually move.
-                    # Values stream from the band rows of `a` itself
-                    # (round 3) — no band copy, no argsort/permute of a
-                    # (bc, n) values buffer; the displaced band rows are
-                    # scattered out BEFORE the gathered pivot rows land
-                    pivrows = rows_gather(a, glist_b)
-                    a = rows_scatter_from_band(a, k, dests_b)
+                    # the whole matrix per block column); the window-RMW
+                    # kernels touch only the granule windows that actually
+                    # contain moves.  Default (round 3): the combined
+                    # one-sweep kernel — out-of-band gather sources are
+                    # exactly the out-of-band scatter destinations (the
+                    # composed map is a permutation with chains bottoming
+                    # in the band), so gathering and scattering in the
+                    # same window visit halves the window reads on
+                    # pivot-heavy (uniform-corpus) inputs.
+                    if config.combined_exchange():
+                        from mpf_tpu.ops.exchange import rows_exchange
+
+                        a, pivrows = rows_exchange(a, k, glist_b, dests_b)
+                    else:
+                        from mpf_tpu.ops.panel_fused import (
+                            rows_gather,
+                            rows_scatter_from_band,
+                        )
+
+                        pivrows = rows_gather(a, glist_b)
+                        a = rows_scatter_from_band(a, k, dests_b)
                     a = jax.lax.dynamic_update_slice(a, pivrows, (k, 0))
                 else:
                     pivrows = jax.lax.optimization_barrier(

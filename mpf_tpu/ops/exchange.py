@@ -1,0 +1,382 @@
+"""Combined one-sweep row exchange (round 3).
+
+The bounded physical exchange after each fused block column (LAPACK LASWP
+semantics composed into one row map, `MPF.cu:42-59` + `MPF.cu:145-162` in
+the reference) was two kernels in round 2/early round 3:
+
+  1. :func:`mpf_tpu.ops.panel_fused.rows_gather` — window-DMA reads of the
+     bc pivot-source rows into a dense ``pivrows`` buffer, and
+  2. :func:`mpf_tpu.ops.panel_fused.rows_scatter_from_band` — an RMW sweep
+     over the granule windows holding the displaced band rows' destinations.
+
+Because the composed map is a permutation whose swap chains bottom out in
+the band, the OUT-of-band gather-source positions are exactly the
+out-of-band scatter destinations: every out-of-band window was therefore
+read TWICE (once by the gather, once by the scatter RMW).  On pivot-heavy
+inputs (the reference's uniform corpus, `matrix_generator.cpp:66`) nearly
+every band row moves to a distinct window, so the double read is the
+dominant exchange cost.
+
+This kernel does both in one visit per window:
+
+  * **Phase 1** streams the band tiles sequentially once, extracting (a)
+    the in-band pivot-source rows straight into the ``pivrows`` output and
+    (b) the displaced band rows into a ``staged`` side buffer ordered by
+    the phase-2 window schedule (so phase 2 can stream it in aligned
+    batches — single arbitrary-row HBM reads are not a thing on TPU).
+  * **Phase 2** walks the out-of-band windows in ascending order (each
+    visited exactly once — the schedule is sorted, unlike the in-band-order
+    scatter which could revisit): reads the window, extracts any pivot
+    source rows in it (before overlaying — a position can be both source
+    and destination), overlays the destination rows from the staged
+    stream, and writes the window back iff it was dirtied.
+
+The caller finishes the exchange by dynamic-update-slicing ``pivrows``
+over the band (in-band destinations always carry the same values the
+gather delivers, so the slab-wide DUS is correct — same argument as
+`rows_scatter_from_band`).
+
+Scheduling (argsorts over 2·bc int32 scalars — microseconds) happens in
+XLA; the kernel consumes flat scalar-prefetch entry lists with the
+inactive suffix trimmed by dynamic loop bounds.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpf_tpu.ops.panel_fused import _granule
+
+
+def _rows_exchange_kernel(
+    r1_ref, pay1_ref, t1_ref, row2_ref, pay2_ref, t2_ref, kmeta_ref,
+    a_in_ref, a_ref, piv_ref, stg_ref,
+    btile, wbuf, vbuf, stile, pend, sems,
+    *, nr: int, g: int,
+):
+    """See module docstring.  Scalar-prefetch layout:
+
+    phase 1 (``n1 = kmeta[1]`` active entries, sorted by band row):
+      r1[e]   band-relative row to extract (0..nr-1)
+      t1[e]   0 = pivot source  -> pivrows[pay1[e]]
+              1 = displaced row -> staged[pay1[e]]  (phase-2 stream slot)
+    phase 2 (``n2 = kmeta[2]`` active entries, sorted by (window, type)):
+      row2[e] global row; t2[e] 0 = source extract, 1 = dest overlay;
+      pay2[e] pivrows row for sources (unused for dests)
+
+    Scratch: ``btile`` (g, w) band tile; ``wbuf`` (2, g, w) window
+    ping-pong; ``vbuf`` (4, 1, w) outgoing single-row ring; ``stile``
+    (8, 1, w) staged batch; ``pend`` SMEM (4, 2) = (kind, pos) of the
+    pending write on each vbuf slot.  Sems: 0-3 vbuf ring, 4-5 window
+    reads, 6-7 window writes, 8 band tile, 9 staged batch.
+    """
+    f32 = jnp.float32
+    kb = kmeta_ref[0]
+    n1 = kmeta_ref[1]
+    n2 = kmeta_ref[2]
+    grows = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+    srows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
+
+    # ---- single-row write ring (shared by both phases) -------------------
+    def row_write_start(slot, kind, pos):
+        @pl.when(kind == 0)
+        def _():
+            pltpu.make_async_copy(
+                vbuf.at[slot], piv_ref.at[pos], sems.at[slot]
+            ).start()
+
+        @pl.when(kind == 1)
+        def _():
+            pltpu.make_async_copy(
+                vbuf.at[slot], stg_ref.at[pos], sems.at[slot]
+            ).start()
+
+    def row_write_wait(slot):
+        kind = pend[slot, 0]
+        pos = pend[slot, 1]
+
+        @pl.when(kind == 0)
+        def _():
+            pltpu.make_async_copy(
+                vbuf.at[slot], piv_ref.at[pos], sems.at[slot]
+            ).wait()
+
+        @pl.when(kind == 1)
+        def _():
+            pltpu.make_async_copy(
+                vbuf.at[slot], stg_ref.at[pos], sems.at[slot]
+            ).wait()
+
+    def emit_row(wcnt, val, kind, pos):
+        """Stage a (1, w) row and start its HBM write; returns wcnt + 1."""
+        slot = wcnt % 4
+
+        @pl.when(wcnt >= 4)
+        def _():
+            row_write_wait(slot)
+
+        vbuf[slot] = val.astype(vbuf.dtype)
+        row_write_start(slot, kind, pos)
+        pend[slot, 0] = kind
+        pend[slot, 1] = pos
+        return wcnt + 1
+
+    def drain_ring(wcnt):
+        for s in range(4):
+            @pl.when(s < wcnt)
+            def _():
+                row_write_wait(s)
+
+    # ---- phase 1: band stream --------------------------------------------
+    def btile_read(t):
+        return pltpu.make_async_copy(
+            a_ref.at[pl.ds(pl.multiple_of(kb + t * g, g), g), :],
+            btile, sems.at[8],
+        )
+
+    def p1_body(e, carry):
+        last_tile, wcnt = carry
+        rowp = r1_ref[e]
+        tile = rowp // g
+
+        @pl.when(tile != last_tile)
+        def _():
+            btile_read(tile).start()
+            btile_read(tile).wait()
+
+        val = jnp.sum(
+            jnp.where(grows == rowp % g, btile[:].astype(f32), 0.0),
+            axis=0, keepdims=True,
+        )
+        wcnt = emit_row(wcnt, val, t1_ref[e], pay1_ref[e])
+        return tile, wcnt
+
+    _, wcnt = jax.lax.fori_loop(
+        0, n1, p1_body, (jnp.int32(-1), jnp.int32(0))
+    )
+    drain_ring(wcnt)  # phase 2 streams ``staged`` — all writes must land
+
+    # ---- phase 2: out-of-band window sweep -------------------------------
+    def win_read(gr, slot):
+        return pltpu.make_async_copy(
+            a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), :],
+            wbuf.at[slot], sems.at[4 + slot],
+        )
+
+    def win_write(gr, slot):
+        return pltpu.make_async_copy(
+            wbuf.at[slot], a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), :],
+            sems.at[6 + slot],
+        )
+
+    def stile_read(t):
+        return pltpu.make_async_copy(
+            stg_ref.at[pl.ds(pl.multiple_of(t * 8, 8), 8)], stile, sems.at[9]
+        )
+
+    def p2_body(e, carry):
+        last_gr, have, cur, wpend, wgr, dirty, scnt, wcnt = carry
+        grow = row2_ref[e]
+        typ = t2_ref[e]
+        gr = grow // g
+        switch = (gr != last_gr) | (have == 0)
+        nxt = jnp.where(have == 0, cur, 1 - cur)
+
+        @pl.when(switch & (wpend == 1))
+        def _():  # the pending window write is always on the slot about to
+            # be reused (windows alternate slots) — await before re-reading
+            win_write(wgr, nxt).wait()
+
+        close = switch & (have == 1) & (dirty == 1)
+
+        @pl.when(close)
+        def _():
+            win_write(last_gr, cur).start()
+
+        @pl.when(switch)
+        def _():
+            win_read(gr, nxt).start()
+            win_read(gr, nxt).wait()
+
+        wgr = jnp.where(close, last_gr, wgr)
+        wpend = jnp.where(switch, close.astype(jnp.int32), wpend)
+        dirty = jnp.where(switch, jnp.int32(0), dirty)
+        cur = jnp.where(switch, nxt, cur)
+        last_gr = jnp.where(switch, gr, last_gr)
+        have = jnp.where(switch, jnp.int32(1), have)
+
+        # source extract BEFORE any overlay (the sort guarantees all of a
+        # window's sources precede its dests — a position can be both)
+        @pl.when(typ == 0)
+        def _():
+            val = jnp.sum(
+                jnp.where(grows == grow % g, wbuf[cur].astype(f32), 0.0),
+                axis=0, keepdims=True,
+            )
+            slot = wcnt % 4
+
+            @pl.when(wcnt >= 4)
+            def _():
+                row_write_wait(slot)
+
+            vbuf[slot] = val.astype(vbuf.dtype)
+            row_write_start(slot, jnp.int32(0), pay2_ref[e])
+            pend[slot, 0] = 0
+            pend[slot, 1] = pay2_ref[e]
+
+        wcnt = wcnt + (typ == 0).astype(jnp.int32)
+
+        @pl.when(typ == 1)
+        def _():
+            @pl.when(scnt % 8 == 0)
+            def _():
+                stile_read(scnt // 8).start()
+                stile_read(scnt // 8).wait()
+
+            v = jnp.sum(
+                jnp.where(srows8 == scnt % 8, stile[:].astype(f32), 0.0),
+                axis=0,
+            )  # (1, w)
+            wbuf[cur] = jnp.where(
+                grows == grow % g, v.astype(wbuf.dtype), wbuf[cur]
+            )
+
+        dirty = jnp.where(typ == 1, jnp.int32(1), dirty)
+        scnt = scnt + (typ == 1).astype(jnp.int32)
+        return last_gr, have, cur, wpend, wgr, dirty, scnt, wcnt
+
+    last_gr, have, cur, wpend, wgr, dirty, scnt, wcnt2 = jax.lax.fori_loop(
+        0, n2, p2_body,
+        (jnp.int32(-1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+         jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+    )
+
+    @pl.when(wpend == 1)
+    def _():
+        win_write(wgr, 1 - cur).wait()
+
+    @pl.when((have == 1) & (dirty == 1))
+    def _():
+        win_write(last_gr, cur).start()
+        win_write(last_gr, cur).wait()
+
+    drain_ring(wcnt2)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_rows_exchange(n: int, w: int, nr: int, dtype_name: str,
+                         interpret: bool = False):
+    dt = jnp.dtype(dtype_name)
+    g = _granule(dt)
+    nr8 = -(-nr // 8) * 8
+    kernel = functools.partial(_rows_exchange_kernel, nr=nr, g=g)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,  # r1, pay1, t1, row2, pay2, t2, kmeta
+            grid=(),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # a (n, w)
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.ANY),          # a (aliased)
+                pl.BlockSpec(memory_space=pltpu.ANY),          # pivrows
+                pl.BlockSpec(memory_space=pltpu.ANY),          # staged
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((g, w), dt),        # band tile
+                pltpu.VMEM((2, g, w), dt),     # window ping-pong
+                pltpu.VMEM((4, 1, w), dt),     # outgoing row ring
+                pltpu.VMEM((8, 1, w), dt),     # staged batch
+                pltpu.SMEM((4, 2), jnp.int32), # pending (kind, pos) per slot
+                pltpu.SemaphoreType.DMA((10,)),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, w), dt),
+            jax.ShapeDtypeStruct((nr, 1, w), dt),
+            jax.ShapeDtypeStruct((nr8, 1, w), dt),
+        ),
+        input_output_aliases={7: 0},  # a, after the 7 scalar-prefetch args
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(
+                (3 * g + 16) * w * dt.itemsize + 8 * w * 4 + (24 << 20),
+                120 << 20,
+            )),
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )
+
+
+def rows_exchange(a, k, glist, dests, interpret=False):
+    """One-sweep bounded row exchange.  Returns ``(a', pivrows)`` where
+
+      * ``pivrows[j] = a[glist[j], :]`` (values of the ORIGINAL ``a``) —
+        the caller writes it over the band ``a'[k:k+nr]``, and
+      * ``a'[dests[i], :] = a[k + i, :]`` for every i whose destination
+        lies outside the band [k, k+nr) (in-band destinations are covered
+        by the band write; swap chains bottom out in the band, so they
+        carry identical values).
+
+    ``k`` (traced) must be granule-aligned.  Equivalent to
+    ``rows_gather`` + ``rows_scatter_from_band`` but reads each
+    out-of-band granule window ONCE instead of twice — on pivot-heavy
+    (uniform-corpus) inputs the windows are nearly all distinct and the
+    double read was the dominant exchange cost.
+    """
+    n, w = a.shape
+    g = _granule(a.dtype)
+    nr = int(glist.shape[0])
+    k = jnp.asarray(k, jnp.int32)
+    glist = glist.astype(jnp.int32)
+    dests = dests.astype(jnp.int32)
+    j = jnp.arange(nr, dtype=jnp.int32)
+
+    inband_s = (glist >= k) & (glist < k + nr)
+    act_d = (dests < k) | (dests >= k + nr)
+
+    # ---- phase-2 schedule: out-of-band entries sorted by (window, type),
+    # sources first within a window (a position can be source AND dest) ----
+    big = jnp.int32(2 * n + 2)
+    key = jnp.concatenate([
+        jnp.where(~inband_s, (glist // g) * 2, big),
+        jnp.where(act_d, (dests // g) * 2 + 1, big),
+    ])
+    o2 = jnp.argsort(key, stable=True)
+    row2 = jnp.concatenate([glist, dests])[o2]
+    t2 = (o2 >= nr).astype(jnp.int32)
+    pay2 = jnp.concatenate([j, j])[o2]
+    n2 = ((~inband_s).sum() + act_d.sum()).astype(jnp.int32)
+
+    # staged stream slot of each active dest = its rank among phase-2 dest
+    # entries; map it back onto the band row for the phase-1 extract
+    e2 = jnp.arange(2 * nr, dtype=jnp.int32)
+    drank = jnp.cumsum(t2).astype(jnp.int32) - 1
+    di = jnp.where((t2 == 1) & (e2 < n2), pay2, nr)
+    slot_by_i = (
+        jnp.zeros((nr + 1,), jnp.int32).at[di].set(drank, mode="drop")[:nr]
+    )
+
+    # ---- phase-1 schedule: band rows ascending (sequential tile stream) --
+    big1 = jnp.int32(nr + 1)
+    r1 = jnp.concatenate([
+        jnp.where(inband_s, glist - k, big1),
+        jnp.where(act_d, j, big1),
+    ])
+    o1 = jnp.argsort(r1, stable=True)
+    r1s = r1[o1]
+    t1 = jnp.concatenate(
+        [jnp.zeros((nr,), jnp.int32), jnp.ones((nr,), jnp.int32)]
+    )[o1]
+    pay1 = jnp.concatenate([j, slot_by_i])[o1]
+    n1 = (inband_s.sum() + act_d.sum()).astype(jnp.int32)
+
+    kmeta = jnp.stack([k, n1, n2]).astype(jnp.int32)
+    a2, piv3, _ = _build_rows_exchange(n, w, nr, a.dtype.name, interpret)(
+        r1s, pay1, t1, row2, pay2, t2, kmeta, a
+    )
+    return a2, piv3.reshape(nr, w)

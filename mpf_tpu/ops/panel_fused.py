@@ -102,32 +102,47 @@ def _rowblock_kernel(
 
     # ---- gather the r pivot rows (granule-aligned DMAs, 8-row batches;
     # fori over batches keeps the Mosaic binary small — the fully unrolled
-    # form contributed to the n=32768 2 GB executable blow-up) -------------
+    # form contributed to the n=32768 2 GB executable blow-up).  Batches are
+    # double-buffered (round 3): batch bi+1's eight window DMAs are in
+    # flight while batch bi's rows are selected — the A2 stage is
+    # DMA-latency-bound (128 small window reads per panel) --------------------
     grows = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+    nbat = r // 8
 
-    def gather_batch(bi, _):
-        j0b = pl.multiple_of(bi * 8, 8)
+    def start_batch(bi, slot):
+        j0b = bi * 8
         for jb in range(8):
             row = glist_ref[j0b + jb]
             gs = pl.multiple_of((row // g) * g, g)
             pltpu.make_async_copy(
-                slab_ref.at[pl.ds(gs, g), :], gbuf_ref.at[jb], sems.at[jb]
+                slab_ref.at[pl.ds(gs, g), :], gbuf_ref.at[slot, jb],
+                sems.at[slot * 8 + jb],
             ).start()
+
+    start_batch(0, 0)
+
+    def gather_batch(bi, _):
+        @pl.when(bi + 1 < nbat)
+        def _():
+            start_batch(bi + 1, (bi + 1) % 2)
+
+        j0b = pl.multiple_of(bi * 8, 8)
+        slot = bi % 2
         rows8 = []
         for jb in range(8):
             row = glist_ref[j0b + jb]
             pltpu.make_async_copy(
                 slab_ref.at[pl.ds(pl.multiple_of((row // g) * g, g), g), :],
-                gbuf_ref.at[jb], sems.at[jb],
+                gbuf_ref.at[slot, jb], sems.at[slot * 8 + jb],
             ).wait()
             rows8.append(jnp.sum(
-                jnp.where(grows == row % g, gbuf_ref[jb].astype(f32), 0.0),
+                jnp.where(grows == row % g, gbuf_ref[slot, jb].astype(f32), 0.0),
                 axis=0, keepdims=True,
             ))  # (1, bc) — the selected row
         staged_ref[pl.ds(j0b, 8), :] = jnp.concatenate(rows8, axis=0).astype(w)
         return 0
 
-    jax.lax.fori_loop(0, r // 8, gather_batch, 0)
+    jax.lax.fori_loop(0, nbat, gather_batch, 0)
 
     staged = staged_ref[:]                                   # (r, bc)
     lanebc = jax.lax.broadcasted_iota(jnp.int32, (1, bc), 1)
@@ -177,8 +192,8 @@ def _build_rowblock(m: int, bc: int, r: int, dtype_name: str,
             ),
             scratch_shapes=[
                 pltpu.VMEM((r, bc), w),                  # staged pivot rows
-                pltpu.VMEM((8, g, bc), w),               # granule ring
-                pltpu.SemaphoreType.DMA((8,)),
+                pltpu.VMEM((2, 8, g, bc), w),            # batch ring (x2)
+                pltpu.SemaphoreType.DMA((16,)),
             ],
         ),
         out_shape=(
@@ -187,7 +202,7 @@ def _build_rowblock(m: int, bc: int, r: int, dtype_name: str,
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int((r + 8 * g) * bc * w.itemsize + (48 << 20)),
+            vmem_limit_bytes=int((r + 16 * g) * bc * w.itemsize + (48 << 20)),
         ),
         interpret=interpret,
     )
@@ -765,6 +780,131 @@ def trailing_gemm_sub(a, l21, u12, ko, interpret=False, _ti=None):
     return a
 
 
+def _l21_trim_kernel(
+    meta_ref, slab_ref, pos_ref, uinv_ref, out_ref, l21_ref,
+    *, r: int, rb: int,
+):
+    """L21 pass of the split streaming update (round 3): grid over row
+    blocks of the PANEL columns only.  Computes L21 = A[:, panel] U11^{-1}
+    masked to rows below the diagonal, writes it back in place, and emits
+    the masked L21 as a dense (m, r) side buffer for the wide-column update
+    pass.  Frozen rows carry L21 == 0, so the update pass needs no row mask
+    at all (b - 0 round-trips bit-exactly through f32)."""
+    f32 = jnp.float32
+    w = slab_ref.dtype
+    j0 = meta_ref[0]
+    hi = jax.lax.Precision.HIGHEST if w == f32 else None
+    b = slab_ref[:]                                          # (rb, r)
+    posT = jnp.swapaxes(pos_ref[:], 0, 1)                    # (rb, 1)
+    below = jnp.broadcast_to(posT, (rb, r)) >= j0 + r
+    l21 = jnp.dot(b, uinv_ref[:], preferred_element_type=f32, precision=hi)
+    l21 = jnp.where(below, l21, 0.0).astype(w)
+    l21_ref[:] = l21
+    out_ref[:] = jnp.where(below, l21, b)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_l21_trim(m: int, bc: int, r: int, jj0: int, rb: int,
+                    dtype_name: str, interpret: bool = False):
+    w = jnp.dtype(dtype_name)
+    assert m % rb == 0 and jj0 % r == 0, (m, r, jj0, rb)
+    t0 = jj0 // r
+    kernel = functools.partial(_l21_trim_kernel, r=r, rb=rb)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # meta (1,) = [j0]
+            grid=(m // rb,),
+            in_specs=[
+                pl.BlockSpec((rb, r), lambda i, meta: (i, t0),
+                             memory_space=pltpu.VMEM),       # panel block
+                pl.BlockSpec((1, rb), lambda i, meta: (0, i),
+                             memory_space=pltpu.VMEM),       # pos block
+                pl.BlockSpec((r, r), lambda i, meta: (0, 0),
+                             memory_space=pltpu.VMEM),       # uinv
+            ],
+            out_specs=(
+                pl.BlockSpec((rb, r), lambda i, meta: (i, t0),
+                             memory_space=pltpu.VMEM),       # slab (aliased)
+                pl.BlockSpec((rb, r), lambda i, meta: (i, 0),
+                             memory_space=pltpu.VMEM),       # L21 buffer
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, bc), w),
+            jax.ShapeDtypeStruct((m, r), w),
+        ),
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                6 * rb * r * max(w.itemsize, 4) + (16 << 20)
+            ),
+        ),
+        interpret=interpret,
+    )
+
+
+def _upd_wide_kernel(
+    slab_ref, l21_ref, u12_ref, out_ref,
+    *, cw: int, glo: int, gemm_bf16: bool,
+):
+    """Wide-column update pass: out = b - L21 @ U12 on lanes >= glo
+    (the first lane at/right of the panel's right edge; lanes of this
+    column range left of it — at most cw - r — pass through).  No row
+    mask: frozen rows have L21 == 0 (see `_l21_trim_kernel`)."""
+    f32 = jnp.float32
+    w = slab_ref.dtype
+    hi = jax.lax.Precision.HIGHEST if w == f32 else None
+    b = slab_ref[:]                                          # (rb, cw)
+    l21 = l21_ref[:]
+    if gemm_bf16 and w != jnp.bfloat16:
+        upd = jnp.dot(l21.astype(jnp.bfloat16), u12_ref[:].astype(jnp.bfloat16),
+                      preferred_element_type=f32)
+    else:
+        upd = jnp.dot(l21, u12_ref[:], preferred_element_type=f32,
+                      precision=hi)
+    j = pl.program_id(1)
+    glane = j * cw + jax.lax.broadcasted_iota(jnp.int32, (1, cw), 1)
+    out_ref[:] = jnp.where(glane >= glo, (b.astype(f32) - upd).astype(w), b)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_upd_wide(m: int, bc: int, r: int, jj0: int, rb: int, cw: int,
+                    dtype_name: str, gemm_bf16: bool,
+                    interpret: bool = False):
+    w = jnp.dtype(dtype_name)
+    cs0 = (jj0 + r) // cw * cw            # first column block touched
+    assert m % rb == 0 and bc % cw == 0 and (bc - cs0) % cw == 0
+    c0b = cs0 // cw
+    ncol = (bc - cs0) // cw
+    kernel = functools.partial(
+        _upd_wide_kernel, cw=cw, glo=jj0 + r - cs0, gemm_bf16=gemm_bf16
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(m // rb, ncol),
+        in_specs=[
+            pl.BlockSpec((rb, cw), lambda i, j: (i, c0b + j),
+                         memory_space=pltpu.VMEM),           # slab block
+            pl.BlockSpec((rb, r), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),           # L21 (cached/i)
+            pl.BlockSpec((r, cw), lambda i, j: (0, c0b + j),
+                         memory_space=pltpu.VMEM),           # U12 col block
+        ],
+        out_specs=pl.BlockSpec((rb, cw), lambda i, j: (i, c0b + j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, bc), w),
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                (4 * rb * cw + 2 * rb * r + 2 * r * cw) * max(w.itemsize, 4)
+                + (16 << 20)
+            ),
+        ),
+        interpret=interpret,
+    )
+
+
 def _apply_update_trim_kernel(
     meta_ref, slab_ref, pos_ref, rowblock_ref, uinv_ref, out_ref, l21_scr,
     *, r: int, rb: int, gemm_bf16: bool,
@@ -849,14 +989,31 @@ def panel_apply_update_trim(slab, pos, rowblock, uinv, j0, jj0, rb=512,
                             gemm_bf16=False, interpret=False):
     """Static-``jj0`` variant of :func:`panel_apply_update` (the driver's
     unrolled panel loop supplies compile-time offsets): touches only the
-    columns at/right of the panel."""
+    columns at/right of the panel.
+
+    Round 3: split into an L21 pass (panel columns, grid m/rb) and a
+    wide-column update pass ((rb, cw=512) blocks) — the round-2 uniform
+    (rb, r=128) grid ran ~41k grid steps per n=65536 factorization and was
+    step-overhead-bound, not HBM-bound (B stage 160 ms vs a ~94 ms slab
+    r+w floor).  Storing L21 row-masked (zeros on frozen rows) makes the
+    update a bit-exact no-op there, so the update pass carries no ``pos``
+    block at all.  ``rb`` is kept as a compatibility floor; the split
+    passes pick their own tiles."""
     m, bc = slab.shape
     r = rowblock.shape[0]
     meta = jnp.asarray(j0, jnp.int32).reshape(1)
-    fn = _build_apply_update_trim(
-        m, bc, r, int(jj0), rb, slab.dtype.name, bool(gemm_bf16), interpret
-    )
-    return fn(meta, slab, pos.reshape(1, m), rowblock, uinv)
+    rbw = next(c for c in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8)
+               if m % c == 0)
+    cw = next((c for c in (512, 256, 128, 64, 32, 16, 8) if bc % c == 0), bc)
+    slab, l21 = _build_l21_trim(
+        m, bc, r, int(jj0), rbw, slab.dtype.name, interpret
+    )(meta, slab, pos.reshape(1, m), uinv)
+    if bc - (int(jj0) + r) > 0:
+        slab = _build_upd_wide(
+            m, bc, r, int(jj0), rbw, cw, slab.dtype.name, bool(gemm_bf16),
+            interpret,
+        )(slab, l21, rowblock)
+    return slab
 
 
 def panel_apply_update(slab, pos, rowblock, uinv, j0, jj0, rb=512,

@@ -401,6 +401,41 @@ def test_panel_apply_update_trim_matches_full():
         np.testing.assert_array_equal(trim[:, :jj0], slab[:, :jj0])
 
 
+@pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
+def test_panel_apply_update_trim_split_multiblock(dtype):
+    """The round-3 split (L21 pass + wide-column update pass) must match the
+    full-slab kernel when the update pass spans MULTIPLE cw-wide column
+    blocks (bc=1024 -> cw=512, ncol=2) and when the first block straddles
+    the panel's right edge (glo > 0); frozen rows (pos < j0 + r) must pass
+    through bit-exactly, update or no update."""
+    rng = np.random.default_rng(9)
+    m, bc, r = 128, 1024, 8
+    for j0, jj0 in ((0, 0), (24, 24), (520, 520)):
+        slab = rng.standard_normal((m, bc)).astype(dtype)
+        pos = jnp.asarray(rng.permutation(m).astype(np.int32))
+        rowblock = rng.standard_normal((r, bc)).astype(dtype)
+        uinv = jnp.asarray(np.triu(rng.standard_normal((r, r))).astype(dtype))
+        full = np.asarray(panel_apply_update(
+            jnp.asarray(slab), pos, jnp.asarray(rowblock), uinv,
+            j0, jj0, rb=128, interpret=True,
+        ).astype(jnp.float32))
+        trim = np.asarray(panel_apply_update_trim(
+            jnp.asarray(slab), pos, jnp.asarray(rowblock), uinv,
+            j0, jj0, rb=128, interpret=True,
+        ).astype(jnp.float32))
+        tol = 1e-5 if dtype == np.float32 else 3e-2
+        np.testing.assert_allclose(
+            trim[:, jj0:], full[:, jj0:], rtol=tol, atol=tol
+        )
+        np.testing.assert_array_equal(trim[:, :jj0],
+                                      np.asarray(slab[:, :jj0], np.float32))
+        frozen = np.asarray(pos) < j0 + r
+        np.testing.assert_array_equal(
+            trim[frozen][:, jj0 + r:],
+            np.asarray(slab, np.float32)[frozen][:, jj0 + r:],
+        )
+
+
 @pytest.mark.parametrize(
     "policy,tol", [(MPF_BF16, 1e-3), (ALL_BF16, 5e-2)]
 )
