@@ -1,0 +1,123 @@
+"""Round-3 single-process chip sweep: validate + headline timings for the
+split streaming update / combined exchange work, HPL-AI vs uniform corpus.
+
+One process => one compile-cache lifetime (the axon tunnel backend never
+persists JAX's compilation cache across processes).  Each phase prints a
+flushed line so partial results survive TPU-worker restarts.
+
+Usage: python tools/tpu_r3_sweep.py [phases]
+  phases: comma list from {val,16k,32k,64k,solve}; default val,16k,32k,64k
+  MPF_XCHG_AB=1 additionally times the split-exchange variant at 16k/32k.
+"""
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+
+import numpy as np  # noqa: E402
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def measure(n, policy, matrix="hpl", r=128, block=1024, iters=3):
+    """Seconds per factorization, net of device-side generation."""
+    import jax.numpy as jnp  # noqa: F401
+    import mpf_tpu
+    from mpf_tpu.utils import matgen
+    from mpf_tpu.utils.timing import time_fn, tflops
+
+    gen = (matgen.random_dense_device if matrix == "uniform"
+           else matgen.hpl_ai_matrix_device)
+    fac = mpf_tpu.make_mpf(n, r=r, policy=policy, block=block, donate=True)
+    t0 = time.time()
+    secs, _ = time_fn(lambda _: fac(gen(n, seed=0)), 0, warmup=1, iters=iters)
+    gsecs, _ = time_fn(lambda _: gen(n, seed=0), 0, warmup=1, iters=2)
+    net = max(secs - gsecs, 1e-9)
+    tf = tflops(n, net)
+    log(f"n={n} {policy.name} {matrix:8s}: {net*1e3:8.1f} ms  {tf:6.2f} TF/s "
+        f"({100*tf/194.0:5.1f}% peak)  [wall {time.time()-t0:.0f}s incl compile]")
+    return net
+
+
+def main():
+    phases = (sys.argv[1] if len(sys.argv) > 1 else "val,16k,32k,64k").split(",")
+    ab = os.environ.get("MPF_XCHG_AB") == "1"
+
+    import jax
+    import jax.numpy as jnp
+    import mpf_tpu
+    from mpf_tpu.precision import ALL_BF16, MPF_BF16
+    from mpf_tpu.utils import matgen
+    from mpf_tpu.utils.oracle import check_factorization
+
+    t0 = time.time()
+    x = jnp.ones((256, 256), jnp.bfloat16)
+    log(f"health: {float((x @ x).sum()):.3g} on {jax.devices()} "
+        f"({time.time()-t0:.0f}s)")
+
+    if "val" in phases:
+        # compiled-kernel oracle probe at n=2048 (combined exchange default),
+        # on BOTH matrix classes (uniform moves pivots on ~every column)
+        for matrix, gen in (("hpl", matgen.hpl_ai_matrix),
+                            ("uniform", matgen.random_dense)):
+            a = gen(2048, seed=1)
+            res = mpf_tpu.mpf_factorize(
+                jnp.asarray(a, jnp.float32), r=128, policy=MPF_BF16, block=1024
+            )
+            rep = check_factorization(
+                a.astype(np.float64), np.asarray(res.lu), np.asarray(res.ipiv),
+                nbe_tol=1e-3,
+            )
+            log(f"validate n=2048 {matrix}: ok={rep.ok} "
+                f"nbe={rep.normwise_backward_err:.2e}")
+            assert rep.ok, rep
+
+    if "16k" in phases:
+        measure(16384, MPF_BF16, "hpl")
+        measure(16384, MPF_BF16, "uniform")
+        if ab:
+            os.environ["MPF_XCHG"] = "split"
+            measure(16384, MPF_BF16, "hpl")
+            measure(16384, MPF_BF16, "uniform")
+            del os.environ["MPF_XCHG"]
+
+    if "32k" in phases:
+        measure(32768, MPF_BF16, "hpl")
+        measure(32768, MPF_BF16, "uniform")
+        if ab:
+            os.environ["MPF_XCHG"] = "split"
+            measure(32768, MPF_BF16, "hpl")
+            del os.environ["MPF_XCHG"]
+
+    if "64k" in phases:
+        measure(65536, ALL_BF16, "hpl")
+        measure(65536, ALL_BF16, "uniform")
+
+    if "solve" in phases:
+        from mpf_tpu.utils.timing import time_fn
+
+        n = 32768
+        a = matgen.hpl_ai_matrix_device(n, seed=0)
+        b = jnp.ones((n,), jnp.float32)
+        t0 = time.time()
+        out = mpf_tpu.mpf_solve(a, b, r=128, sweeps=3)
+        rn = np.asarray(out.residual_norms, np.float64)
+        log(f"solve n={n}: residual norms {rn} in {time.time()-t0:.0f}s "
+            "(compile incl)")
+        secs, _ = time_fn(
+            lambda _: mpf_tpu.mpf_solve(a, b, r=128, sweeps=3).x, 0,
+            warmup=0, iters=2,
+        )
+        log(f"solve n={n}: {secs*1e3:.1f} ms end-to-end (factor+IR)")
+
+    log("sweep done")
+
+
+if __name__ == "__main__":
+    main()
