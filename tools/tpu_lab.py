@@ -217,6 +217,47 @@ def cmd_micro(args):
 
     bench("B streaming update", bstage, slab)
 
+    # ---- exchange A/B at matrix width m: combined one-sweep kernel vs the
+    # round-2 gather + band-source-scatter pair, on (a) a diagonally
+    # dominant pivot pattern (sources mostly in-band) and (b) a
+    # uniform-heavy one (every band row moves to a spread-out window) ------
+    from mpf_tpu.ops.exchange import rows_exchange
+    from mpf_tpu.ops.panel_fused import rows_gather, rows_scatter_from_band
+
+    n = m  # square matrix: exchange cost scales with row WIDTH
+    a_full = jnp.asarray(rng.standard_normal((n, n)), work)
+    k0 = 0
+    nrb = min(bc, n // 2)
+    for tag in ("diag", "uniform"):
+        rows = np.arange(n)
+        rngl = np.random.default_rng(1)
+        for j in range(nrb):  # sequential partial-pivoting swap chains
+            if tag == "uniform":
+                p = rngl.integers(k0 + j, n)
+            else:
+                p = k0 + j if rngl.random() < 0.7 else rngl.integers(k0 + j, n)
+            rows[k0 + j], rows[p] = rows[p], rows[k0 + j]
+        inv = np.empty(n, np.int64)
+        inv[rows] = np.arange(n)
+        glist = jnp.asarray(rows[k0:k0 + nrb], jnp.int32)
+        dests = jnp.asarray(inv[k0:k0 + nrb], jnp.int32)
+
+        def xcomb(a):
+            def body(t, a):
+                a, piv = rows_exchange(a, k0, glist, dests)
+                return jax.lax.dynamic_update_slice(a, piv, (k0, 0))
+            return jax.lax.fori_loop(0, iters, body, a)
+
+        def xsplit(a):
+            def body(t, a):
+                piv = rows_gather(a, glist)
+                a = rows_scatter_from_band(a, k0, dests)
+                return jax.lax.dynamic_update_slice(a, piv, (k0, 0))
+            return jax.lax.fori_loop(0, iters, body, a)
+
+        bench(f"exch combined {tag}", xcomb, a_full)
+        bench(f"exch split    {tag}", xsplit, a_full)
+
 
 def cmd_solve(args):
     import jax.numpy as jnp
