@@ -54,9 +54,10 @@ from mpf_tpu.ops.panel_fused import _granule
 
 
 def _rows_exchange_kernel(
-    r1_ref, pay1_ref, t1_ref, row2_ref, pay2_ref, t2_ref, kmeta_ref,
+    r1_ref, pay1_ref, t1_ref, nxt1_ref, row2_ref, pay2_ref, t2_ref,
+    nxw_ref, kmeta_ref,
     a_in_ref, a_ref, piv_ref, stg_ref,
-    btile, wbuf, vbuf, stile, pend, sems,
+    btile, wbuf, vbuf, stile, pend, wps, sems,
     *, nr: int, g: int,
 ):
     """See module docstring.  Scalar-prefetch layout:
@@ -65,15 +66,25 @@ def _rows_exchange_kernel(
       r1[e]   band-relative row to extract (0..nr-1)
       t1[e]   0 = pivot source  -> pivrows[pay1[e]]
               1 = displaced row -> staged[pay1[e]]  (phase-2 stream slot)
+      nxt1[e] NEXT distinct band tile after e's (or -1) — read prefetch
     phase 2 (``n2 = kmeta[2]`` active entries, sorted by (window, type)):
       row2[e] global row; t2[e] 0 = source extract, 1 = dest overlay;
-      pay2[e] pivrows row for sources (unused for dests)
+      pay2[e] pivrows row for sources (unused for dests);
+      nxw[e]  NEXT distinct window after e's (or -1) — read prefetch
 
-    Scratch: ``btile`` (g, w) band tile; ``wbuf`` (2, g, w) window
-    ping-pong; ``vbuf`` (4, 1, w) outgoing single-row ring; ``stile``
-    (8, 1, w) staged batch; ``pend`` SMEM (4, 2) = (kind, pos) of the
-    pending write on each vbuf slot.  Sems: 0-3 vbuf ring, 4-5 window
-    reads, 6-7 window writes, 8 band tile, 9 staged batch.
+    Both sweeps double/quad-buffer their big reads: the next tile/window's
+    DMA is started at the CURRENT switch (the schedules are sorted, so the
+    successor is known), hiding the read latency behind the current
+    segment's selects — on spread (uniform-corpus) patterns the sweep is
+    otherwise bound by ~65k sequential window-read round-trips per
+    factorization.
+
+    Scratch: ``btile`` (2, g, w) band tiles; ``wbuf`` (4, g, w) window
+    ring (read-ahead + write-behind); ``vbuf`` (4, 1, w) outgoing
+    single-row ring; ``stile`` (8, 1, w) staged batch; ``pend`` SMEM
+    (4, 2) = (kind, pos) pending write per vbuf slot; ``wps`` SMEM
+    (4, 2) = (pending?, window) per wbuf slot.  Sems: 0-3 vbuf, 4-7
+    window reads, 8-11 window writes, 12-13 band tiles, 14 staged batch.
     """
     f32 = jnp.float32
     kb = kmeta_ref[0]
@@ -132,36 +143,48 @@ def _rows_exchange_kernel(
             def _():
                 row_write_wait(s)
 
-    # ---- phase 1: band stream --------------------------------------------
-    def btile_read(t):
+    # ---- phase 1: band stream (tile reads double-buffered) ---------------
+    def btile_read(t, slot):
         return pltpu.make_async_copy(
             a_ref.at[pl.ds(pl.multiple_of(kb + t * g, g), g), :],
-            btile, sems.at[8],
+            btile.at[slot], sems.at[12 + slot],
         )
 
     def p1_body(e, carry):
-        last_tile, wcnt = carry
+        last_tile, tord, wcnt = carry
         rowp = r1_ref[e]
         tile = rowp // g
+        tswitch = tile != last_tile
+        tord = tord + tswitch.astype(jnp.int32)
+        ts = tord % 2
 
-        @pl.when(tile != last_tile)
+        @pl.when(tswitch)
         def _():
-            btile_read(tile).start()
-            btile_read(tile).wait()
+            @pl.when(tord == 0)
+            def _():  # first tile: nobody prefetched it
+                btile_read(tile, ts).start()
+
+            btile_read(tile, ts).wait()
+            nt = nxt1_ref[e]
+
+            @pl.when(nt >= 0)
+            def _():  # prefetch the next tile into the other slot
+                btile_read(nt, 1 - ts).start()
 
         val = jnp.sum(
-            jnp.where(grows == rowp % g, btile[:].astype(f32), 0.0),
+            jnp.where(grows == rowp % g, btile[ts].astype(f32), 0.0),
             axis=0, keepdims=True,
         )
         wcnt = emit_row(wcnt, val, t1_ref[e], pay1_ref[e])
-        return tile, wcnt
+        return tile, tord, wcnt
 
-    _, wcnt = jax.lax.fori_loop(
-        0, n1, p1_body, (jnp.int32(-1), jnp.int32(0))
+    _, _, wcnt = jax.lax.fori_loop(
+        0, n1, p1_body, (jnp.int32(-1), jnp.int32(-1), jnp.int32(0))
     )
     drain_ring(wcnt)  # phase 2 streams ``staged`` — all writes must land
 
-    # ---- phase 2: out-of-band window sweep -------------------------------
+    # ---- phase 2: out-of-band window sweep (4-slot ring: read-ahead of
+    # the NEXT window + write-behind of closed dirty windows) --------------
     def win_read(gr, slot):
         return pltpu.make_async_copy(
             a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), :],
@@ -171,44 +194,62 @@ def _rows_exchange_kernel(
     def win_write(gr, slot):
         return pltpu.make_async_copy(
             wbuf.at[slot], a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), :],
-            sems.at[6 + slot],
+            sems.at[8 + slot],
         )
+
+    def wps_wait(slot):
+        """Await the pending window write recorded on ``slot`` (if any)."""
+        @pl.when(wps[slot, 0] == 1)
+        def _():
+            win_write(wps[slot, 1], slot).wait()
+            wps[slot, 0] = 0
 
     def stile_read(t):
         return pltpu.make_async_copy(
-            stg_ref.at[pl.ds(pl.multiple_of(t * 8, 8), 8)], stile, sems.at[9]
+            stg_ref.at[pl.ds(pl.multiple_of(t * 8, 8), 8)], stile, sems.at[14]
         )
 
+    for s in range(4):
+        wps[s, 0] = 0
+
     def p2_body(e, carry):
-        last_gr, have, cur, wpend, wgr, dirty, scnt, wcnt = carry
+        last_gr, word, dirty, scnt, wcnt = carry
         grow = row2_ref[e]
         typ = t2_ref[e]
         gr = grow // g
-        switch = (gr != last_gr) | (have == 0)
-        nxt = jnp.where(have == 0, cur, 1 - cur)
-
-        @pl.when(switch & (wpend == 1))
-        def _():  # the pending window write is always on the slot about to
-            # be reused (windows alternate slots) — await before re-reading
-            win_write(wgr, nxt).wait()
-
-        close = switch & (have == 1) & (dirty == 1)
-
-        @pl.when(close)
-        def _():
-            win_write(last_gr, cur).start()
+        switch = (gr != last_gr) | (word < 0)
+        word = word + switch.astype(jnp.int32)  # window ordinal; slot word%4
+        cur = word % 4
 
         @pl.when(switch)
         def _():
-            win_read(gr, nxt).start()
-            win_read(gr, nxt).wait()
+            wps_wait(cur)  # slot reuse: ordinal word-4's write must land
 
-        wgr = jnp.where(close, last_gr, wgr)
-        wpend = jnp.where(switch, close.astype(jnp.int32), wpend)
+            @pl.when(word == 0)
+            def _():  # first window: nobody prefetched it
+                win_read(gr, cur).start()
+
+            win_read(gr, cur).wait()  # prefetched at the previous switch
+
+            prev = (word + 3) % 4
+
+            @pl.when((word > 0) & (dirty == 1))
+            def _():  # close the previous window (write-behind)
+                wps_wait(prev)  # its slot's OLDER write (ordinal word-5)
+                win_write(last_gr, prev).start()
+                wps[prev, 0] = 1
+                wps[prev, 1] = last_gr
+
+            nw = nxw_ref[e]
+
+            @pl.when(nw >= 0)
+            def _():  # read-ahead of the next distinct window
+                nslot = (word + 1) % 4
+                wps_wait(nslot)  # ordinal word-3's write must land first
+                win_read(nw, nslot).start()
+
         dirty = jnp.where(switch, jnp.int32(0), dirty)
-        cur = jnp.where(switch, nxt, cur)
         last_gr = jnp.where(switch, gr, last_gr)
-        have = jnp.where(switch, jnp.int32(1), have)
 
         # source extract BEFORE any overlay (the sort guarantees all of a
         # window's sources precede its dests — a position can be both)
@@ -248,23 +289,24 @@ def _rows_exchange_kernel(
 
         dirty = jnp.where(typ == 1, jnp.int32(1), dirty)
         scnt = scnt + (typ == 1).astype(jnp.int32)
-        return last_gr, have, cur, wpend, wgr, dirty, scnt, wcnt
+        return last_gr, word, dirty, scnt, wcnt
 
-    last_gr, have, cur, wpend, wgr, dirty, scnt, wcnt2 = jax.lax.fori_loop(
+    last_gr, word, dirty, scnt, wcnt2 = jax.lax.fori_loop(
         0, n2, p2_body,
-        (jnp.int32(-1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-         jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+        (jnp.int32(-1), jnp.int32(-1), jnp.int32(0), jnp.int32(0),
+         jnp.int32(0)),
     )
 
-    @pl.when(wpend == 1)
-    def _():
-        win_write(wgr, 1 - cur).wait()
-
-    @pl.when((have == 1) & (dirty == 1))
-    def _():
+    @pl.when((word >= 0) & (dirty == 1))
+    def _():  # close the final window
+        cur = word % 4
+        wps_wait(cur)
         win_write(last_gr, cur).start()
-        win_write(last_gr, cur).wait()
+        wps[cur, 0] = 1
+        wps[cur, 1] = last_gr
 
+    for s in range(4):
+        wps_wait(s)
     drain_ring(wcnt2)
 
 
@@ -278,7 +320,8 @@ def _build_rows_exchange(n: int, w: int, nr: int, dtype_name: str,
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,  # r1, pay1, t1, row2, pay2, t2, kmeta
+            # r1, pay1, t1, nxt1, row2, pay2, t2, nxw, kmeta
+            num_scalar_prefetch=9,
             grid=(),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # a (n, w)
             out_specs=(
@@ -287,12 +330,13 @@ def _build_rows_exchange(n: int, w: int, nr: int, dtype_name: str,
                 pl.BlockSpec(memory_space=pltpu.ANY),          # staged
             ),
             scratch_shapes=[
-                pltpu.VMEM((g, w), dt),        # band tile
-                pltpu.VMEM((2, g, w), dt),     # window ping-pong
+                pltpu.VMEM((2, g, w), dt),     # band tiles (double-buffered)
+                pltpu.VMEM((4, g, w), dt),     # window ring
                 pltpu.VMEM((4, 1, w), dt),     # outgoing row ring
                 pltpu.VMEM((8, 1, w), dt),     # staged batch
-                pltpu.SMEM((4, 2), jnp.int32), # pending (kind, pos) per slot
-                pltpu.SemaphoreType.DMA((10,)),
+                pltpu.SMEM((4, 2), jnp.int32), # pending (kind, pos)/vbuf slot
+                pltpu.SMEM((4, 2), jnp.int32), # pending (flag, win)/wbuf slot
+                pltpu.SemaphoreType.DMA((15,)),
             ],
         ),
         out_shape=(
@@ -300,16 +344,30 @@ def _build_rows_exchange(n: int, w: int, nr: int, dtype_name: str,
             jax.ShapeDtypeStruct((nr, 1, w), dt),
             jax.ShapeDtypeStruct((nr8, 1, w), dt),
         ),
-        input_output_aliases={7: 0},  # a, after the 7 scalar-prefetch args
+        input_output_aliases={9: 0},  # a, after the 9 scalar-prefetch args
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(min(
-                (3 * g + 16) * w * dt.itemsize + 8 * w * 4 + (24 << 20),
+                (6 * g + 16) * w * dt.itemsize + 8 * w * 4 + (24 << 20),
                 120 << 20,
             )),
             has_side_effects=True,
         ),
         interpret=interpret,
     )
+
+
+def _next_distinct(wid):
+    """Per entry, the value of the NEXT distinct ``wid`` segment (-1 at the
+    last segment).  ``wid`` must be segment-grouped (sorted) with negative
+    sentinels marking the inactive suffix; negative successors report -1."""
+    m = wid.shape[0]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), wid[1:] != wid[:-1]]
+    )
+    sid = jnp.cumsum(first.astype(jnp.int32)) - 1
+    swid = jnp.full((m + 1,), jnp.int32(-1)).at[sid].set(wid)
+    nx = swid[jnp.minimum(sid + 1, m)]
+    return jnp.where(nx < 0, jnp.int32(-1), nx)
 
 
 def rows_exchange(a, k, glist, dests, interpret=False):
@@ -375,8 +433,15 @@ def rows_exchange(a, k, glist, dests, interpret=False):
     pay1 = jnp.concatenate([j, slot_by_i])[o1]
     n1 = (inband_s.sum() + act_d.sum()).astype(jnp.int32)
 
+    # ---- read-prefetch schedules: the NEXT distinct tile/window ----------
+    e2 = jnp.arange(2 * nr, dtype=jnp.int32)
+    tile1 = jnp.where(e2 < n1, r1s // g, jnp.int32(-2))
+    nxt1 = _next_distinct(tile1)
+    wid2 = jnp.where(e2 < n2, row2 // g, jnp.int32(-2))
+    nxw = _next_distinct(wid2)
+
     kmeta = jnp.stack([k, n1, n2]).astype(jnp.int32)
     a2, piv3, _ = _build_rows_exchange(n, w, nr, a.dtype.name, interpret)(
-        r1s, pay1, t1, row2, pay2, t2, kmeta, a
+        r1s, pay1, t1, nxt1, row2, pay2, t2, nxw, kmeta, a
     )
     return a2, piv3.reshape(nr, w)
