@@ -81,10 +81,11 @@ def _rows_exchange_kernel(
 
     Scratch: ``btile`` (2, g, w) band tiles; ``wbuf`` (4, g, w) window
     ring (read-ahead + write-behind); ``vbuf`` (4, 1, w) outgoing
-    single-row ring; ``stile`` (8, 1, w) staged batch; ``pend`` SMEM
-    (4, 2) = (kind, pos) pending write per vbuf slot; ``wps`` SMEM
-    (4, 2) = (pending?, window) per wbuf slot.  Sems: 0-3 vbuf, 4-7
-    window reads, 8-11 window writes, 12-13 band tiles, 14 staged batch.
+    single-row ring; ``stile`` (2, 8, 1, w) staged batches (ping-pong);
+    ``pend`` SMEM (4, 2) = (kind, pos) pending write per vbuf slot;
+    ``wps`` SMEM (4, 2) = (pending?, window) per wbuf slot.  Sems: 0-3
+    vbuf, 4-7 window reads, 8-11 window writes, 12-13 band tiles, 14-15
+    staged batches.
     """
     f32 = jnp.float32
     kb = kmeta_ref[0]
@@ -204,9 +205,12 @@ def _rows_exchange_kernel(
             win_write(wps[slot, 1], slot).wait()
             wps[slot, 0] = 0
 
-    def stile_read(t):
+    nbat8 = -(-nr // 8)  # staged batches available (static)
+
+    def stile_read(t, slot):
         return pltpu.make_async_copy(
-            stg_ref.at[pl.ds(pl.multiple_of(t * 8, 8), 8)], stile, sems.at[14]
+            stg_ref.at[pl.ds(pl.multiple_of(t * 8, 8), 8)], stile.at[slot],
+            sems.at[14 + slot],
         )
 
     for s in range(4):
@@ -274,13 +278,24 @@ def _rows_exchange_kernel(
 
         @pl.when(typ == 1)
         def _():
+            t8 = scnt // 8
+            sl8 = t8 % 2
+
             @pl.when(scnt % 8 == 0)
-            def _():
-                stile_read(scnt // 8).start()
-                stile_read(scnt // 8).wait()
+            def _():  # staged batches double-buffered: batch t8+1's read is
+                # in flight while t8's rows overlay
+                @pl.when(scnt == 0)
+                def _():
+                    stile_read(0, 0).start()
+
+                stile_read(t8, sl8).wait()
+
+                @pl.when(t8 + 1 < nbat8)
+                def _():
+                    stile_read(t8 + 1, 1 - sl8).start()
 
             v = jnp.sum(
-                jnp.where(srows8 == scnt % 8, stile[:].astype(f32), 0.0),
+                jnp.where(srows8 == scnt % 8, stile[sl8].astype(f32), 0.0),
                 axis=0,
             )  # (1, w)
             wbuf[cur] = jnp.where(
@@ -333,10 +348,10 @@ def _build_rows_exchange(n: int, w: int, nr: int, dtype_name: str,
                 pltpu.VMEM((2, g, w), dt),     # band tiles (double-buffered)
                 pltpu.VMEM((4, g, w), dt),     # window ring
                 pltpu.VMEM((4, 1, w), dt),     # outgoing row ring
-                pltpu.VMEM((8, 1, w), dt),     # staged batch
+                pltpu.VMEM((2, 8, 1, w), dt),  # staged batches (ping-pong)
                 pltpu.SMEM((4, 2), jnp.int32), # pending (kind, pos)/vbuf slot
                 pltpu.SMEM((4, 2), jnp.int32), # pending (flag, win)/wbuf slot
-                pltpu.SemaphoreType.DMA((15,)),
+                pltpu.SemaphoreType.DMA((16,)),
             ],
         ),
         out_shape=(
