@@ -95,6 +95,21 @@ def main():
             measure(32768, MPF_BF16, "hpl")
             del os.environ["MPF_XCHG"]
 
+    if "32kattr" in phases:
+        # regression attribution at the flagship size (STATUS: 453.7 ms
+        # mid-round -> 508.5 ms after d61f1d3/5c4d306): A/B the group-major
+        # pivot kernel and the exchange variant, one process
+        log("-- 32k attribution: default (gm=1, combined exchange)")
+        measure(32768, MPF_BF16, "hpl")
+        os.environ["MPF_GM"] = "0"
+        log("-- 32k attribution: MPF_GM=0 (flat strip kernel)")
+        measure(32768, MPF_BF16, "hpl")
+        del os.environ["MPF_GM"]
+        os.environ["MPF_XCHG"] = "split"
+        log("-- 32k attribution: MPF_XCHG=split")
+        measure(32768, MPF_BF16, "hpl")
+        del os.environ["MPF_XCHG"]
+
     if "64k" in phases:
         measure(65536, ALL_BF16, "hpl")
         measure(65536, ALL_BF16, "uniform")
