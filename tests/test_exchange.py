@@ -79,6 +79,29 @@ def test_rows_exchange_identity():
     np.testing.assert_array_equal(np.asarray(piv), a[k:k + nr])
 
 
+def test_rows_exchange_randomized_stress():
+    """Many random swap scenarios, both dtypes, boundary band placements
+    (k = 0, middle, n - nr: last-window edge)."""
+    n, w, nr = 128, 128, 32
+    for seed in range(10):
+        rng = np.random.default_rng(100 + seed)
+        dtype = np.float32 if seed % 2 == 0 else jnp.bfloat16
+        k = [0, 32, n - nr][seed % 3]
+        mode = ["uniform", "diag"][seed % 2]
+        a = rng.standard_normal((n, w)).astype(dtype)
+        glist, dests, rows = _swap_scenario(rng, n, k, nr, mode)
+        a2, piv = rows_exchange(
+            jnp.asarray(a), k, jnp.asarray(glist), jnp.asarray(dests),
+            interpret=True,
+        )
+        got = np.asarray(
+            jax.lax.dynamic_update_slice(a2, piv, (k, 0)).astype(jnp.float32)
+        )
+        np.testing.assert_array_equal(
+            got, np.asarray(a, np.float32)[rows], err_msg=f"seed {seed}"
+        )
+
+
 def test_rows_exchange_larger_band():
     """nr > one granule run, bf16 (g=16), pivot-heavy, odd window overlap:
     positions that are simultaneously source and destination."""
