@@ -338,11 +338,11 @@ def _build_rows_exchange(n: int, w: int, nr: int, dtype_name: str,
             # r1, pay1, t1, nxt1, row2, pay2, t2, nxw, kmeta
             num_scalar_prefetch=9,
             grid=(),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # a (n, w)
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],   # a (n, w)
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.ANY),          # a (aliased)
-                pl.BlockSpec(memory_space=pltpu.ANY),          # pivrows
-                pl.BlockSpec(memory_space=pltpu.ANY),          # staged
+                pl.BlockSpec(memory_space=pl.ANY),          # a (aliased)
+                pl.BlockSpec(memory_space=pl.ANY),          # pivrows
+                pl.BlockSpec(memory_space=pl.ANY),          # staged
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, g, w), dt),     # band tiles (double-buffered)

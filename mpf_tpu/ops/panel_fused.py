@@ -184,7 +184,7 @@ def _build_rowblock(m: int, bc: int, r: int, dtype_name: str,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # glist (r,), meta (1,) = [jj0]
             grid=(),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # slab (m, bc)
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # slab (m, bc)
             out_specs=(
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # rowblock (r, bc)
                 pl.BlockSpec(memory_space=pltpu.VMEM),   # uinv (r, r)
@@ -395,8 +395,8 @@ def _build_rows_gather(n: int, w: int, nr: int, dtype_name: str,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # rows (nr,), first (nr,), slot (nr,)
             grid=(),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # a (n, w) HBM
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),   # out (nr, w) HBM
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # a (n, w) HBM
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),   # out (nr, w) HBM
             scratch_shapes=[
                 pltpu.VMEM((8, g, w), dt),   # granule window ring
                 pltpu.VMEM((2, 8, w), dt),   # outgoing batch (ping-pong)
@@ -566,14 +566,14 @@ def _build_rows_scatter(n: int, w: int, nr: int, dtype_name: str,
     kernel = functools.partial(_rows_scatter_kernel, nr=nr, g=g,
                                from_band=from_band)
     if from_band:
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]   # a only
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)]   # a only
         nsp = 4       # ds, need, act, kmeta
         vtile = pltpu.VMEM((g, w), dt)
         aliases = {4: 0}
     else:
         in_specs = [
-            pl.BlockSpec(memory_space=pltpu.ANY),  # a (n, w) HBM (aliased)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # vals (nr/8, 8, w) HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # a (n, w) HBM (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),  # vals (nr/8, 8, w) HBM
         ]
         nsp = 3
         vtile = pltpu.VMEM((8, w), dt)
@@ -584,7 +584,7 @@ def _build_rows_scatter(n: int, w: int, nr: int, dtype_name: str,
             num_scalar_prefetch=nsp,
             grid=(),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, g, w), dt),   # granule window (double-buffered)
                 vtile,                       # values tile

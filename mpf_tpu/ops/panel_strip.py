@@ -577,7 +577,7 @@ def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
                 num_scalar_prefetch=1,  # meta (2,) = [off, jj0]
                 grid=(),
                 in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.ANY),   # (m, w) slab HBM
+                    pl.BlockSpec(memory_space=pl.ANY),   # (m, w) slab HBM
                     pl.BlockSpec(memory_space=pltpu.VMEM),  # pos in (8, ml)
                 ],
                 out_specs=(
@@ -621,7 +621,7 @@ def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
             num_scalar_prefetch=1,  # meta (2,) = [off, jj0]
             grid=(),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),   # (m, w) slab (HBM)
+                pl.BlockSpec(memory_space=pl.ANY),   # (m, w) slab (HBM)
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # pos in (1, m)
             ],
             out_specs=(
