@@ -110,9 +110,20 @@ def main():
         measure(32768, MPF_BF16, "hpl")
         del os.environ["MPF_XCHG"]
 
+    if "blk" in phases:
+        # outer block-size A/B at the flagship size: trailing-GEMM HBM
+        # traffic scales as 1/block (8*n^3/(3*block) bytes), while the B
+        # streaming stage scales up with block — measure the trade.
+        log("-- 32k block A/B")
+        measure(32768, MPF_BF16, "hpl", block=2048)
+        measure(32768, MPF_BF16, "hpl", block=1024)
+
     if "64k" in phases:
         measure(65536, ALL_BF16, "hpl")
         measure(65536, ALL_BF16, "uniform")
+
+    if "64kblk" in phases:
+        measure(65536, ALL_BF16, "hpl", block=2048)
 
     if "solve" in phases:
         from mpf_tpu.utils.timing import time_fn
