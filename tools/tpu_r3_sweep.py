@@ -25,16 +25,34 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+_FAC_CACHE = {}
+
+
+def _fac(n, policy, r, block):
+    """Compiled-driver cache: repeat configs inside one sweep process must
+    not recompile (~10 min each at n=32768 — the tunnel backend has no
+    persistent compilation cache).  The A/B env knobs are read at TRACE
+    time, so they are part of the key."""
+    import mpf_tpu
+
+    key = (n, policy.name, r, block,
+           os.environ.get("MPF_XCHG"), os.environ.get("MPF_GM"),
+           os.environ.get("MPF_ABLATE"))
+    if key not in _FAC_CACHE:
+        _FAC_CACHE[key] = mpf_tpu.make_mpf(
+            n, r=r, policy=policy, block=block, donate=True)
+    return _FAC_CACHE[key]
+
+
 def measure(n, policy, matrix="hpl", r=128, block=1024, iters=3):
     """Seconds per factorization, net of device-side generation."""
     import jax.numpy as jnp  # noqa: F401
-    import mpf_tpu
     from mpf_tpu.utils import matgen
     from mpf_tpu.utils.timing import time_fn, tflops
 
     gen = (matgen.random_dense_device if matrix == "uniform"
            else matgen.hpl_ai_matrix_device)
-    fac = mpf_tpu.make_mpf(n, r=r, policy=policy, block=block, donate=True)
+    fac = _fac(n, policy, r, block)
     t0 = time.time()
     secs, _ = time_fn(lambda _: fac(gen(n, seed=0)), 0, warmup=1, iters=iters)
     gsecs, _ = time_fn(lambda _: gen(n, seed=0), 0, warmup=1, iters=2)
