@@ -24,7 +24,7 @@ from mpf_tpu.precision import (
     cast_to_panel,
 )
 from mpf_tpu.models.mpf import MPFResult, mpf_factorize, make_mpf
-from mpf_tpu.models.solve import getrs, lu_solve
+from mpf_tpu.models.solve import gecon, getri, getrs, logdet, lu_solve
 from mpf_tpu.models.refine import ir_solve, gmres_ir_solve, mpf_solve, solve
 from mpf_tpu.models.batched import batched_factorize
 
@@ -41,7 +41,10 @@ __all__ = [
     "MPFResult",
     "mpf_factorize",
     "make_mpf",
+    "gecon",
+    "getri",
     "getrs",
+    "logdet",
     "lu_solve",
     "ir_solve",
     "gmres_ir_solve",
