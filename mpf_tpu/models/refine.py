@@ -116,6 +116,7 @@ def solve(
     policy: PrecisionPolicy = MPF_BF16,
     sweeps: int = 3,
     auto_escalate: bool = True,
+    equilibrate: bool = False,
 ):
     """Convenience driver with automatic precision escalation (host-side
     control): factor under ``policy`` + Richardson IR; if IR divergence is
@@ -127,29 +128,48 @@ def solve(
     selection) and GMRES-IR again.  Returns (x, info_dict).
 
     All heavy work runs jitted on device; only scalar quality metrics are
-    fetched to the host for the escalation decisions."""
+    fetched to the host for the escalation decisions.
+
+    ``equilibrate=True`` preconditions with power-of-two row/column scales
+    (:func:`mpf_tpu.ops.scaling.geequ`): the scaled system
+    ``(R A C) y = R b`` is factored and refined, and ``x = C y`` is exact
+    (power-of-two scaling changes exponents only).  Backward errors and
+    escalation decisions are made on the ORIGINAL system."""
     from mpf_tpu.precision import MPF_REF
     from mpf_tpu.models.mpf import mpf_factorize
 
     be_tol = 1e-6
 
+    a_orig, b_orig = a, b
+    cs = None
+    if equilibrate:
+        from mpf_tpu.ops.scaling import equilibrate as _equ
+
+        a, rs, cs = _equ(a)
+        b = (b.astype(jnp.float32) * rs.astype(jnp.float32)).astype(b.dtype)
+
+    def _unscale(y):
+        if cs is None:
+            return y
+        return (y.astype(jnp.float32) * cs.astype(jnp.float32)).astype(y.dtype)
+
     res = mpf_factorize(a, r=r, policy=policy, pivot=True)
     ir = ir_solve(a.astype(policy.working), res.lu, res.ipiv, b,
                   sweeps=sweeps, perm=res.perm)
     path = "richardson"
-    x = ir.x
-    be = float(_backward_error(a, x, b))
+    x = _unscale(ir.x)
+    be = float(_backward_error(a_orig, x, b_orig))
     if auto_escalate and (bool(ir.diverged) or be > be_tol):
-        x = gmres_ir_solve(a, res.lu, res.ipiv, b, restart=20, maxiter=5,
-                           perm=res.perm)
+        x = _unscale(gmres_ir_solve(a, res.lu, res.ipiv, b, restart=20,
+                                    maxiter=5, perm=res.perm))
         path = "gmres_ir"
-        be = float(_backward_error(a, x, b))
+        be = float(_backward_error(a_orig, x, b_orig))
         if be > be_tol and policy.name != MPF_REF.name:
             res = mpf_factorize(a, r=r, policy=MPF_REF, pivot=True)
-            x = gmres_ir_solve(a, res.lu, res.ipiv, b, restart=20, maxiter=5,
-                               perm=res.perm)
+            x = _unscale(gmres_ir_solve(a, res.lu, res.ipiv, b, restart=20,
+                                        maxiter=5, perm=res.perm))
             path = "gmres_ir+mpf_ref_refactor"
-            be = float(_backward_error(a, x, b))
+            be = float(_backward_error(a_orig, x, b_orig))
     return x, {
         "path": path,
         "diverged": bool(ir.diverged),
