@@ -26,7 +26,7 @@ from mpf_tpu.precision import (
 from mpf_tpu.models.mpf import MPFResult, mpf_factorize, make_mpf
 from mpf_tpu.models.solve import gecon, getri, getrs, logdet, lu_solve
 from mpf_tpu.models.refine import ir_solve, gmres_ir_solve, mpf_solve, solve
-from mpf_tpu.models.batched import batched_factorize
+from mpf_tpu.models.batched import batched_factorize, batched_solve
 
 __version__ = "0.1.0"
 
@@ -51,4 +51,5 @@ __all__ = [
     "mpf_solve",
     "solve",
     "batched_factorize",
+    "batched_solve",
 ]
