@@ -37,7 +37,7 @@ def _fac(n, policy, r, block):
 
     key = (n, policy.name, r, block,
            os.environ.get("MPF_XCHG"), os.environ.get("MPF_GM"),
-           os.environ.get("MPF_ABLATE"))
+           os.environ.get("MPF_QUANT16"), os.environ.get("MPF_ABLATE"))
     if key not in _FAC_CACHE:
         _FAC_CACHE[key] = mpf_tpu.make_mpf(
             n, r=r, policy=policy, block=block, donate=True)
@@ -127,6 +127,10 @@ def main():
         log("-- 32k attribution: MPF_XCHG=split")
         measure(32768, MPF_BF16, "hpl")
         del os.environ["MPF_XCHG"]
+        os.environ["MPF_QUANT16"] = "0"
+        log("-- 32k attribution: MPF_QUANT16=0 (exact two-reduce chain)")
+        measure(32768, MPF_BF16, "hpl")
+        del os.environ["MPF_QUANT16"]
 
     if "blk" in phases:
         # outer block-size A/B at the flagship size: trailing-GEMM HBM
