@@ -32,6 +32,7 @@ physical exchange runs per block column, not per panel.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -998,10 +999,20 @@ def panel_apply_update_trim(slab, pos, rowblock, uinv, j0, jj0, rb=512,
     r+w floor).  Storing L21 row-masked (zeros on frozen rows) makes the
     update a bit-exact no-op there, so the update pass carries no ``pos``
     block at all.  ``rb`` is kept as a compatibility floor; the split
-    passes pick their own tiles."""
+    passes pick their own tiles.
+
+    ``MPF_SPLITB=0`` (trace-time A/B knob) restores the round-2 uniform
+    single-pass kernel — the chip-proven fallback for the split form's
+    compiled-mode debut, and the attribution baseline."""
     m, bc = slab.shape
     r = rowblock.shape[0]
     meta = jnp.asarray(j0, jnp.int32).reshape(1)
+    if os.environ.get("MPF_SPLITB", "1") == "0":
+        fn = _build_apply_update_trim(
+            m, bc, r, int(jj0), rb, slab.dtype.name, bool(gemm_bf16),
+            interpret,
+        )
+        return fn(meta, slab, pos.reshape(1, m), rowblock, uinv)
     rbw = next(c for c in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8)
                if m % c == 0)
     cw = next((c for c in (512, 256, 128, 64, 32, 16, 8) if bc % c == 0), bc)

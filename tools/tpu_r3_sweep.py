@@ -37,7 +37,8 @@ def _fac(n, policy, r, block):
 
     key = (n, policy.name, r, block,
            os.environ.get("MPF_XCHG"), os.environ.get("MPF_GM"),
-           os.environ.get("MPF_QUANT16"), os.environ.get("MPF_ABLATE"))
+           os.environ.get("MPF_QUANT16"), os.environ.get("MPF_SPLITB"),
+           os.environ.get("MPF_ABLATE"))
     if key not in _FAC_CACHE:
         _FAC_CACHE[key] = mpf_tpu.make_mpf(
             n, r=r, policy=policy, block=block, donate=True)
@@ -131,6 +132,10 @@ def main():
         log("-- 32k attribution: MPF_QUANT16=0 (exact two-reduce chain)")
         measure(32768, MPF_BF16, "hpl")
         del os.environ["MPF_QUANT16"]
+        os.environ["MPF_SPLITB"] = "0"
+        log("-- 32k attribution: MPF_SPLITB=0 (round-2 single-pass B kernel)")
+        measure(32768, MPF_BF16, "hpl")
+        del os.environ["MPF_SPLITB"]
 
     if "blk" in phases:
         # outer block-size A/B at the flagship size: trailing-GEMM HBM
