@@ -258,6 +258,35 @@ def cmd_micro(args):
         bench(f"exch combined {tag}", xcomb, a_full)
         bench(f"exch split    {tag}", xsplit, a_full)
 
+    # ---- trailing GEMM: epilogue-fused kernel vs raw XLA dot at the same
+    # shape, with the HBM roofline for context (read+write A22 dominates;
+    # MXU floor = 2*m*m*k flops / 194 TF/s) -------------------------------
+    from mpf_tpu.ops.panel_fused import trailing_gemm_sub
+
+    kk = bc
+    l21 = jnp.asarray(rng.standard_normal((m, kk)),
+                      jnp.bfloat16 if "bf16" in args.policy else work)
+    u12 = jnp.asarray(rng.standard_normal((kk, m)), l21.dtype)
+
+    def tgemm(a):
+        def body(t, a):
+            return trailing_gemm_sub(a, l21, u12, 0)
+        return jax.lax.fori_loop(0, iters, body, a)
+
+    def tdot(a):
+        def body(t, a):
+            upd = jnp.dot(l21, u12, preferred_element_type=jnp.float32)
+            return (a.astype(jnp.float32) - upd).astype(a.dtype)
+        return jax.lax.fori_loop(0, iters, body, a)
+
+    bench("trailing epilogue GEMM", tgemm, a_full)
+    bench("trailing XLA dot-sub", tdot, a_full)
+    it = jnp.dtype(work).itemsize
+    hbm_ms = 2 * m * m * it / 819e9 * 1e3
+    mxu_ms = 2 * m * m * kk / 194e12 * 1e3
+    print(f"rooflines per iter: HBM(a r+w) {hbm_ms:.2f} ms, "
+          f"MXU {mxu_ms:.2f} ms", flush=True)
+
 
 def cmd_solve(args):
     import jax.numpy as jnp
