@@ -391,6 +391,82 @@ def _factor_block_column(slab, kk, r, policy, pivot, panel_kernel):
     return slab, perm, piv_all, info
 
 
+def _resolve_super(n: int, block: int, super_block) -> int | None:
+    """Resolve the superblock width for three-level blocking (``None``
+    disables it).  ``"auto"`` (default; env ``MPF_SUPER`` overrides: ``0``
+    disables, an integer forces) enables S = 4096-aligned-to-block when the
+    problem is big enough for the deferred-update traffic win to matter.
+
+    Rationale: the outer trailing GEMM's A22 read-modify-write traffic is
+    ~8 n^3 / (3 * width) bytes — re-touching the far trailing matrix every
+    ``block`` columns is the HBM floor of the flagship size (n=32768
+    MPF_BF16: ~91 GB at block=1024).  Deferring far updates to every S
+    columns cuts that to ~8 n^3/(3 S) + a small within-superblock term."""
+    import os
+
+    env = os.environ.get("MPF_SUPER", "")
+    if env:
+        super_block = None if env in ("0", "none") else (
+            "auto" if env == "auto" else int(env))
+    if super_block == "auto":
+        s = max(4096, block)
+        s = -(-s // block) * block  # round up to a block multiple
+        super_block = s if n >= 2 * s else None
+    if super_block is not None:
+        if super_block % block or super_block <= block or n < 2 * super_block:
+            return None
+    return super_block
+
+
+def _trailing_update(a, ks: int, kw: int, ce: int, policy, fprec, lu_diag, r):
+    """Deferred-window trailing update from the ``kw``-wide packed diagonal
+    block at ``ks``: U12 := L11^{-1} A12 over columns [ks+kw, ce), then
+    A[ks+kw:, ks+kw:ce] -= L21 @ U12.  ``ce == n`` reproduces the classic
+    full-width right-looking update (reference `MPF.cu:215-239`); the
+    three-level driver also calls it with ``ce`` = superblock end (narrow
+    mid update) and with ``kw`` = superblock width (wide far update)."""
+    n = a.shape[0]
+    e = ks + kw
+    w = ce - e
+    if w <= 0:
+        return a
+    # U12 block: L11^{-1} A12 via log-depth blocked triangular inverse
+    linv = unit_lower_inv_blocked(lu_diag, base=min(r, 128))
+    a12 = jax.lax.dynamic_slice(a, (ks, e), (kw, w))
+    u12 = jnp.dot(
+        linv, a12, preferred_element_type=policy.accum, precision=fprec
+    ).astype(a.dtype)
+    a = jax.lax.dynamic_update_slice(a, u12, (ks, e))
+    # trailing update at true (static) sizes — the O(n^3) hot GEMM
+    l21 = a[e:, ks:e].astype(policy.gemm_in)
+    u12c = u12.astype(policy.gemm_in)
+    mtr = n - e
+    if (
+        config.use_pallas()
+        and jax.default_backend() == "tpu"
+        and mtr % 1024 == 0
+        and e % 1024 == 0
+        and w % 1024 == 0
+        and jnp.dtype(a.dtype) in (jnp.float32, jnp.bfloat16)
+    ):
+        # subtract fused into the GEMM epilogue, aliased in place
+        # (XLA materializes the product before subtracting — an extra
+        # full HBM round-trip of the updated region)
+        from mpf_tpu.ops.panel_fused import trailing_gemm_sub
+
+        a = trailing_gemm_sub(a, l21, u12c, e, ncols=w)
+    else:
+        upd = jnp.dot(
+            l21, u12c, preferred_element_type=policy.accum,
+            precision=_mm_precision(l21),
+        )
+        a22 = (
+            a[e:, e:ce].astype(policy.accum) - upd
+        ).astype(a.dtype)
+        a = a.at[e:, e:ce].set(a22)
+    return a
+
+
 def mpf_factorize_traced(
     a: jax.Array,
     r: int = 128,
@@ -398,6 +474,7 @@ def mpf_factorize_traced(
     pivot: bool = True,
     block: int | None = None,
     panel_kernel=None,
+    super_block="auto",
 ) -> MPFResult:
     """Trace-time body: two-level blocked LU.  Call through
     :func:`mpf_factorize` / :func:`make_mpf` for the jitted entry points.
@@ -419,7 +496,7 @@ def mpf_factorize_traced(
         apad = apad.at[tail, tail].set(jnp.ones((), a.dtype))
         res = mpf_factorize_traced(
             apad, r=r, policy=policy, pivot=pivot, block=block,
-            panel_kernel=panel_kernel,
+            panel_kernel=panel_kernel, super_block=super_block,
         )
         return MPFResult(
             lu=res.lu[:n, :n],
@@ -432,6 +509,7 @@ def mpf_factorize_traced(
     if block is None:
         block = max(r, min(n, 2048))
     block = max(block, r)
+    S = _resolve_super(n, block, super_block)
     fprec = _mm_precision(a)
 
     ipiv = _iota(n) + 1  # identity init (`benchmark.cpp:215-217`)
@@ -549,54 +627,41 @@ def mpf_factorize_traced(
             lu11 = slab[k : k + bc, :]
 
         if k + bc < n and not config.ablate("outer"):
-            # U12 block: L11^{-1} A12 via log-depth blocked triangular inverse
-            linv = unit_lower_inv_blocked(lu11, base=min(r, 128))
-            a12 = a[k : k + bc, k + bc :]
-            u12 = jnp.dot(
-                linv, a12, preferred_element_type=policy.accum, precision=fprec
-            ).astype(a.dtype)
-            a = a.at[k : k + bc, k + bc :].set(u12)
-            # trailing update at true (static) sizes — the O(n^3) hot GEMM
-            l21 = a[k + bc :, k : k + bc].astype(policy.gemm_in)
-            u12c = u12.astype(policy.gemm_in)
-            mtr = n - k - bc
-            if (
-                config.use_pallas()
-                and jax.default_backend() == "tpu"
-                and mtr % 1024 == 0
-                and (k + bc) % 1024 == 0
-                and jnp.dtype(a.dtype) in (jnp.float32, jnp.bfloat16)
-            ):
-                # subtract fused into the GEMM epilogue, aliased in place
-                # (XLA materializes the (m, m) product before subtracting —
-                # an extra full HBM round-trip of the trailing matrix)
-                from mpf_tpu.ops.panel_fused import trailing_gemm_sub
-
-                a = trailing_gemm_sub(a, l21, u12c, k + bc)
-            else:
-                upd = jnp.dot(
-                    l21, u12c, preferred_element_type=policy.accum,
-                    precision=_mm_precision(l21),
+            # Three-level blocking: within a superblock the trailing update
+            # is confined to the superblock's remaining columns (narrow mid
+            # update); the far trailing matrix is touched once per
+            # superblock with one wide k=S GEMM.  S=None (or the last,
+            # possibly partial, superblock) degenerates to the classic
+            # full-width update.
+            sb_end = n if S is None else min(k - k % S + S, n)
+            a = _trailing_update(a, k, bc, sb_end, policy, fprec, lu11, r)
+            if S is not None and k + bc == sb_end and sb_end < n:
+                s0 = sb_end - S
+                a = _trailing_update(
+                    a, s0, S, n, policy, fprec, a[s0:sb_end, s0:sb_end], r
                 )
-                a22 = (
-                    a[k + bc :, k + bc :].astype(policy.accum) - upd
-                ).astype(a.dtype)
-                a = a.at[k + bc :, k + bc :].set(a22)
 
     return MPFResult(lu=a, ipiv=ipiv, info=info, perm=perm_total)
 
 
-@functools.partial(jax.jit, static_argnames=("r", "policy", "pivot", "block"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("r", "policy", "pivot", "block", "super_block"),
+)
 def mpf_factorize(
     a: jax.Array,
     r: int = 128,
     policy: PrecisionPolicy = MPF_BF16,
     pivot: bool = True,
     block: int | None = None,
+    super_block="auto",
 ) -> MPFResult:
     """Jitted blocked MPF factorization (the library entry point, reference
     `MPF.h:3`)."""
-    return mpf_factorize_traced(a, r=r, policy=policy, pivot=pivot, block=block)
+    return mpf_factorize_traced(
+        a, r=r, policy=policy, pivot=pivot, block=block,
+        super_block=super_block,
+    )
 
 
 def make_mpf(
@@ -607,6 +672,7 @@ def make_mpf(
     block: int | None = None,
     panel_kernel=None,
     donate: bool = True,
+    super_block="auto",
 ):
     """Build a jitted factorizer for a fixed problem size, optionally donating
     the input buffer (in-place factorization like the reference's overwrite of
@@ -614,7 +680,8 @@ def make_mpf(
 
     def fn(a):
         return mpf_factorize_traced(
-            a, r=r, policy=policy, pivot=pivot, block=block, panel_kernel=panel_kernel
+            a, r=r, policy=policy, pivot=pivot, block=block,
+            panel_kernel=panel_kernel, super_block=super_block,
         )
 
     return jax.jit(fn, donate_argnums=(0,) if donate else ())

@@ -746,13 +746,16 @@ def _trailing_segments(ko: int, m: int, ti: int):
     ) if mr > 0]
 
 
-def trailing_gemm_sub(a, l21, u12, ko, interpret=False, _ti=None):
-    """In-place trailing update on the FULL matrix: a[ko:, ko:] -=
-    l21 @ u12 (fp32 accumulation), with the subtract fused into the GEMM
-    epilogue.  XLA materializes the (m, m) product before the subtract —
-    a full extra HBM round-trip of the trailing matrix per block column;
-    this kernel writes each output tile once, aliased in place.  ``ko``
-    (static) and the trailing size must be multiples of 1024.
+def trailing_gemm_sub(a, l21, u12, ko, interpret=False, _ti=None, ncols=None):
+    """In-place trailing update on the FULL matrix: a[ko:ko+m, ko:ko+ncols]
+    -= l21 @ u12 (fp32 accumulation), with the subtract fused into the GEMM
+    epilogue.  ``ncols`` defaults to ``m`` (the classic square trailing
+    update); the three-level driver passes a narrower ``ncols`` for its
+    deferred within-superblock updates.  XLA materializes the product
+    before the subtract — a full extra HBM round-trip of the trailing
+    matrix per block column; this kernel writes each output tile once,
+    aliased in place.  ``ko`` (static), ``ncols``, and the trailing row
+    count must be multiples of 1024.
 
     The L21 row tile is cached across a whole row strip (its index map
     ignores j), so U12's total re-fetch traffic scales as 1/ti.  Row tiles
@@ -763,6 +766,9 @@ def trailing_gemm_sub(a, l21, u12, ko, interpret=False, _ti=None):
     ~90 ms of pure HBM time across an n=65536 factorization)."""
     n = a.shape[0]
     m, kk = l21.shape
+    if ncols is None:
+        ncols = m
+    assert u12.shape == (kk, ncols), (u12.shape, kk, ncols)
     ko = int(ko)
     w_item = jnp.dtype(a.dtype).itemsize
     gd_item = jnp.dtype(l21.dtype).itemsize
@@ -774,7 +780,7 @@ def trailing_gemm_sub(a, l21, u12, ko, interpret=False, _ti=None):
         ti //= 2
     for r0, mr, tseg in _trailing_segments(ko, m, ti):
         fn = _build_trailing_sub(
-            n, ko, r0, mr, m, kk, a.dtype.name, l21.dtype.name, tseg,
+            n, ko, r0, mr, ncols, kk, a.dtype.name, l21.dtype.name, tseg,
             interpret,
         )
         a = fn(l21[r0 - ko : r0 - ko + mr], u12, a)

@@ -38,7 +38,7 @@ def _fac(n, policy, r, block):
     key = (n, policy.name, r, block,
            os.environ.get("MPF_XCHG"), os.environ.get("MPF_GM"),
            os.environ.get("MPF_QUANT16"), os.environ.get("MPF_SPLITB"),
-           os.environ.get("MPF_ABLATE"))
+           os.environ.get("MPF_SUPER"), os.environ.get("MPF_ABLATE"))
     if key not in _FAC_CACHE:
         _FAC_CACHE[key] = mpf_tpu.make_mpf(
             n, r=r, policy=policy, block=block, donate=True)
@@ -97,6 +97,20 @@ def main():
                 f"nbe={rep.normwise_backward_err:.2e}")
             assert rep.ok, rep
 
+    if "superval" in phases:
+        # compiled debut of the three-level driver: smallest size where
+        # MPF_SUPER=auto activates (n >= 2*4096), oracle-checked on host
+        n = 8192
+        a = matgen.hpl_ai_matrix(n, seed=2)
+        res = mpf_tpu.mpf_factorize(
+            jnp.asarray(a, jnp.float32), r=128, policy=MPF_BF16, block=1024)
+        rep = check_factorization(
+            a.astype(np.float64), np.asarray(res.lu), np.asarray(res.ipiv),
+            nbe_tol=1e-3)
+        log(f"superval n={n} S=4096: ok={rep.ok} "
+            f"nbe={rep.normwise_backward_err:.2e}")
+        assert rep.ok, rep
+
     if "16k" in phases:
         measure(16384, MPF_BF16, "hpl")
         measure(16384, MPF_BF16, "uniform")
@@ -136,6 +150,23 @@ def main():
         log("-- 32k attribution: MPF_SPLITB=0 (round-2 single-pass B kernel)")
         measure(32768, MPF_BF16, "hpl")
         del os.environ["MPF_SPLITB"]
+
+    if "super" in phases:
+        # three-level blocking A/B at the flagship size: the far-trailing
+        # fp32 RMW traffic drops ~3x (8n^3/(3*1024) -> 8n^3/(3*4096) + mid)
+        log("-- 32k superblock A/B")
+        measure(32768, MPF_BF16, "hpl")              # MPF_SUPER auto (4096)
+        os.environ["MPF_SUPER"] = "0"
+        log("-- 32k attribution: MPF_SUPER=0 (two-level)")
+        measure(32768, MPF_BF16, "hpl")
+        del os.environ["MPF_SUPER"]
+
+    if "super64" in phases:
+        log("-- 64k superblock A/B (ALL_BF16)")
+        measure(65536, ALL_BF16, "hpl")
+        os.environ["MPF_SUPER"] = "0"
+        measure(65536, ALL_BF16, "hpl")
+        del os.environ["MPF_SUPER"]
 
     if "blk" in phases:
         # outer block-size A/B at the flagship size: trailing-GEMM HBM
