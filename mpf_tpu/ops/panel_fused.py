@@ -694,14 +694,14 @@ def _trailing_sub_kernel(l_ref, u_ref, a_ref, out_ref, *, hi):
 @functools.lru_cache(maxsize=512)
 def _build_trailing_sub(n: int, ko: int, row0: int, mrows: int, m: int,
                         kk: int, dtype_name: str, gemm_dtype_name: str,
-                        ti: int = 1024, interpret: bool = False):
+                        ti: int = 1024, interpret: bool = False,
+                        t: int = 1024):
     """Epilogue-fused a[row0:row0+mrows, ko:ko+m] -= l21seg @ u12, in place
     on the full (n, n) matrix."""
     w = jnp.dtype(dtype_name)
     gd = jnp.dtype(gemm_dtype_name)
-    t = 1024
     assert mrows % ti == 0 and row0 % ti == 0 and m % t == 0 and ko % t == 0, (
-        mrows, row0, m, ko, ti)
+        mrows, row0, m, ko, ti, t)
     hi = jax.lax.Precision.HIGHEST if gd == jnp.float32 else None
     kernel = functools.partial(_trailing_sub_kernel, hi=hi)
     kbi = row0 // ti
@@ -772,16 +772,30 @@ def trailing_gemm_sub(a, l21, u12, ko, interpret=False, _ti=None, ncols=None):
     ko = int(ko)
     w_item = jnp.dtype(a.dtype).itemsize
     gd_item = jnp.dtype(l21.dtype).itemsize
-    ti = _ti or _TRAILING_TI
-    while ti > 1024 and (
-        2 * 2 * ti * 1024 * max(w_item, 2) + 2 * (ti + 1024) * kk * gd_item
-        > (72 << 20)
-    ):
-        ti //= 2
+
+    def _max_ti(t):
+        ti = _ti or _TRAILING_TI
+        while ti > 1024 and (
+            2 * 2 * ti * t * max(w_item, 2) + 2 * (ti + t) * kk * gd_item
+            > (72 << 20)
+        ):
+            ti //= 2
+        return ti
+
+    # U12 re-fetch traffic is (m/ti) * kk * ncols * itemsize — t-independent
+    # — so prefer the (ti, t) with the largest ti; at equal ti the wider
+    # column tile (fewer grid steps).  The t=512 candidate exists only for
+    # wide-kk (superblock far) updates, where fp32 working precision can't
+    # reach ti=2048 at t=1024; the chip-proven kk<=1024 configs keep t=1024.
+    tcands = (1024, 512) if kk > 1024 else (1024,)
+    ti, t = max(
+        ((_max_ti(tc), tc) for tc in tcands if ncols % tc == 0),
+        key=lambda p: (p[0], p[1]),
+    )
     for r0, mr, tseg in _trailing_segments(ko, m, ti):
         fn = _build_trailing_sub(
             n, ko, r0, mr, ncols, kk, a.dtype.name, l21.dtype.name, tseg,
-            interpret,
+            interpret, t,
         )
         a = fn(l21[r0 - ko : r0 - ko + mr], u12, a)
     return a
