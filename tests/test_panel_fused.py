@@ -525,3 +525,38 @@ def test_pad_target_gates(monkeypatch):
     assert M._pad_target(32769, 128, MPF_BF16, True, panel_pivots_perm) == 0
     monkeypatch.setattr(cfg, "_USE_PALLAS", "0")
     assert M._pad_target(32769, 128, MPF_BF16, True, None) == 0
+
+
+def test_trailing_gemm_sub_ncols_wide_kk():
+    """Rectangular (ncols < m) updates and wide contraction dims (kk > 1024,
+    the superblock far update, which selects the t=512 column tiling for
+    fp32 working dtypes): == a[ko:, ko:ko+ncols] - l21 @ u12, untouched
+    elsewhere."""
+    from mpf_tpu.ops.panel_fused import trailing_gemm_sub
+
+    rng = np.random.default_rng(11)
+    n, ko = 4096, 2048
+    m = n - ko
+    for kk, ncols, dt, tol in (
+        (2048, 1024, np.float32, 2e-3),   # wide-kk far update, narrow cols
+        (2048, 2048, jnp.bfloat16, 2e-1), # wide-kk, bf16 working
+        (64, 1024, np.float32, 2e-4),     # narrow mid update, classic kk
+    ):
+        a = rng.standard_normal((n, n)).astype(np.float32)
+        l21 = rng.standard_normal((m, kk)).astype(np.float32) / np.sqrt(kk)
+        u12 = rng.standard_normal((kk, ncols)).astype(np.float32)
+        out = np.asarray(trailing_gemm_sub(
+            jnp.asarray(a, dt), jnp.asarray(l21, dt), jnp.asarray(u12, dt),
+            ko, interpret=True, ncols=ncols,
+        ), np.float32)
+        ad = np.asarray(jnp.asarray(a, dt), np.float32)
+        exp = ad.copy()
+        exp[ko:, ko:ko + ncols] = ad[ko:, ko:ko + ncols] - (
+            np.asarray(jnp.asarray(l21, dt), np.float32)
+            @ np.asarray(jnp.asarray(u12, dt), np.float32)
+        )
+        np.testing.assert_allclose(out, exp, rtol=tol, atol=tol * 8)
+        np.testing.assert_array_equal(out[:ko, :], ad[:ko, :])
+        np.testing.assert_array_equal(out[:, :ko], ad[:, :ko])
+        np.testing.assert_array_equal(
+            out[:, ko + ncols:], ad[:, ko + ncols:])
