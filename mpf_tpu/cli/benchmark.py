@@ -41,6 +41,11 @@ def main(argv=None) -> int:
                     help="panel width (reference hardcodes 32, benchmark.cpp:220)")
     ap.add_argument("--policy", default="mpf_bf16")
     ap.add_argument("--csv", default="benchmark_times.csv")
+    ap.add_argument("--block", type=int, default=None,
+                    help="outer block-column width (default: driver auto)")
+    ap.add_argument("--super-block", default="auto",
+                    help="superblock width for three-level blocking: "
+                    "'auto' (default), '0' to disable, or an integer")
     ap.add_argument("--dist", metavar="PxQ", default=None,
                     help="factor on a PxQ device mesh (2D block-cyclic "
                     "distributed driver) instead of the single-chip driver; "
@@ -118,7 +123,11 @@ def main(argv=None) -> int:
                     perm=perm,
                 )
             else:
-                fn = lambda x: mpf_factorize(x, r=r, policy=policy)
+                sb = (None if args.super_block in ("0", "none")
+                      else args.super_block if args.super_block == "auto"
+                      else int(args.super_block))
+                fn = lambda x: mpf_factorize(
+                    x, r=r, policy=policy, block=args.block, super_block=sb)
                 mpf_time, _ = time_fn(fn, a32, warmup=1, iters=3)
                 res = fn(a32)
 
