@@ -46,14 +46,24 @@ def _short_err(e, limit=160):
     return s[:limit] + ("..." if len(s) > limit else "")
 
 
-def _measure_factor(n, r, block, policy):
+def _measure_factor(n, r, block, policy, super_block="auto"):
     """Seconds per factorization at size n, net of device-side generation."""
-    fac = mpf_tpu.make_mpf(n, r=r, policy=policy, block=block, donate=True)
+    fac = mpf_tpu.make_mpf(n, r=r, policy=policy, block=block, donate=True,
+                           super_block=super_block)
 
     def run(_):
         return fac(matgen.hpl_ai_matrix_device(n, seed=0))
 
-    secs, _ = time_fn(run, 0, warmup=1, iters=3)
+    try:
+        secs, _ = time_fn(run, 0, warmup=1, iters=3)
+    except Exception as e:  # noqa: BLE001
+        if super_block is None:
+            raise
+        # three-level blocking is the newest compiled config; degrade to
+        # the chip-proven two-level driver before degrading in SIZE
+        print(f"WARNING: n={n} super_block=auto failed ({_short_err(e)}); "
+              "retrying two-level", file=sys.stderr)
+        return _measure_factor(n, r, block, policy, super_block=None)
     gsecs, _ = time_fn(
         lambda _: matgen.hpl_ai_matrix_device(n, seed=0), 0, warmup=1, iters=2,
     )
