@@ -346,11 +346,39 @@ def cmd_batched(args):
           f" TF/s), xla lu_factor {xsecs*1e3:.0f} ms ({fl/xsecs/1e12:.3f} TF/s)")
 
 
+def cmd_dist11(args):
+    """(1,1)-mesh fused dist driver vs the single-chip driver at the same
+    size: the replicated-panel SPMD structure's overhead with zero
+    communication (VERDICT r2 weak #5 / item 5 — round 2 measured +20-29%;
+    round 3 confined dist trailing GEMMs to static tail windows)."""
+    import jax
+    import jax.numpy as jnp
+
+    import mpf_tpu
+    from mpf_tpu.parallel.mesh import make_mesh
+    from mpf_tpu.parallel.block_cyclic import shard_block_cyclic
+    from mpf_tpu.parallel.dist_lu import make_dist_lu
+    from mpf_tpu.utils.timing import time_fn
+
+    n, b, r = args.n, args.block, args.r
+    pol = _policy(args.policy)
+    a = _gen(args, n)
+    fac = mpf_tpu.make_mpf(n, r=r, policy=pol, block=b, donate=False)
+    ssecs, _ = time_fn(fac, a, warmup=1, iters=args.iters)
+    import jax as _jax
+    mesh = make_mesh((1, 1), devices=_jax.devices()[:1])
+    tiles = shard_block_cyclic(a, mesh, b)
+    dfn = make_dist_lu(n, b, mesh, pol, r=r)
+    dsecs, _ = time_fn(lambda t: dfn(t)[0], tiles, warmup=1, iters=args.iters)
+    print(f"dist11 n={n} b={b}: single {ssecs*1e3:.0f} ms, dist(1,1) "
+          f"{dsecs*1e3:.0f} ms  (+{100*(dsecs/ssecs-1):.1f}%)", flush=True)
+
+
 def build_args(d=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("cmd", nargs="?", default="health",
                    choices=["health", "validate", "time", "uniform", "ablate",
-                            "micro", "solve", "batched"])
+                            "micro", "solve", "batched", "dist11"])
     p.add_argument("--n", type=int, default=32768)
     p.add_argument("--m", type=int, default=8192)
     p.add_argument("--r", type=int, default=128)
