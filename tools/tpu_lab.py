@@ -365,13 +365,20 @@ def cmd_dist11(args):
     a = _gen(args, n)
     fac = mpf_tpu.make_mpf(n, r=r, policy=pol, block=b, donate=False)
     ssecs, _ = time_fn(fac, a, warmup=1, iters=args.iters)
+    # apples-to-apples structural overhead: the dist driver has no
+    # superblock deferral yet, so also time the two-level single-chip driver
+    fac2 = mpf_tpu.make_mpf(n, r=r, policy=pol, block=b, donate=False,
+                            super_block=None)
+    s2secs, _ = time_fn(fac2, a, warmup=1, iters=args.iters)
     import jax as _jax
     mesh = make_mesh((1, 1), devices=_jax.devices()[:1])
     tiles = shard_block_cyclic(a, mesh, b)
     dfn = make_dist_lu(n, b, mesh, pol, r=r)
     dsecs, _ = time_fn(lambda t: dfn(t)[0], tiles, warmup=1, iters=args.iters)
-    print(f"dist11 n={n} b={b}: single {ssecs*1e3:.0f} ms, dist(1,1) "
-          f"{dsecs*1e3:.0f} ms  (+{100*(dsecs/ssecs-1):.1f}%)", flush=True)
+    print(f"dist11 n={n} b={b}: single {ssecs*1e3:.0f} ms "
+          f"(two-level {s2secs*1e3:.0f} ms), dist(1,1) {dsecs*1e3:.0f} ms  "
+          f"(+{100*(dsecs/ssecs-1):.1f}% vs single, "
+          f"+{100*(dsecs/s2secs-1):.1f}% structural vs two-level)", flush=True)
 
 
 def build_args(d=None):
