@@ -226,14 +226,88 @@ def _dist_fused_ok(n: int, b: int, r: int, policy, pivot: bool) -> bool:
     return True
 
 
-def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy):
+def _dist_super_far(aloc, s0, sbe, *, n, b, r, gp, gq, pp, qq, grows, gcols,
+                    policy):
+    """Deferred superblock far update (three-level blocking, the dist analog
+    of the single-chip `_trailing_update` wide call): at the superblock
+    boundary, assemble the superblock's L panel and packed diagonal block
+    from the current (exchange-applied) local tiles, compute the far U12 in
+    one wide TRSM, and update the far trailing window with one local kk=S
+    GEMM.  Collectives: one COL_AXIS psum of the (h, S) L panel, one
+    ROW_AXIS psum of the (S, S) diagonal block, one ROW_AXIS psum of the
+    (S, w) band rows — the same volume the per-step path spreads over S/b
+    messages, in 3."""
+    h, w = aloc.shape
+    nlp, nlq = h // b, w // b
+    S = sbe - s0
+    fprec = _mm_precision(jnp.zeros((), policy.working))
+    # superblock L panel for the local rows (each device owns cols j%gq==qq)
+    parts = [
+        jnp.where(qq == (j % gq),
+                  jax.lax.dynamic_slice(aloc, (0, (j // gq) * b), (h, b)),
+                  jnp.zeros((h, b), aloc.dtype))
+        for j in range(s0 // b, sbe // b)
+    ]
+    lloc = jax.lax.psum(jnp.concatenate(parts, axis=1), COL_AXIS)   # (h, S)
+    # replicated (S, S) packed diagonal block
+    bparts = [
+        jnp.where(pp == (i % gp),
+                  jax.lax.dynamic_slice(lloc, ((i // gp) * b, 0), (b, S)),
+                  jnp.zeros((b, S), aloc.dtype))
+        for i in range(s0 // b, sbe // b)
+    ]
+    lss = jax.lax.psum(jnp.concatenate(bparts, axis=0), ROW_AXIS)   # (S, S)
+    # base must match the single-chip far update (`_trailing_update`) so the
+    # (1,1)-mesh run stays bit-identical to the superblocked single-chip
+    # driver (the parity the fused dist path is tested on)
+    linv = unit_lower_inv_blocked(lss, base=min(r, 128))
+    # replicated band rows of the local tiles (raw A12 — far columns
+    # received NO updates from this superblock's panels, by deferral)
+    aparts = [
+        jnp.where(pp == (i % gp),
+                  jax.lax.dynamic_slice(aloc, ((i // gp) * b, 0), (b, w)),
+                  jnp.zeros((b, w), aloc.dtype))
+        for i in range(s0 // b, sbe // b)
+    ]
+    bandl = jax.lax.psum(jnp.concatenate(aparts, axis=0), ROW_AXIS)  # (S, w)
+    u12f = jnp.dot(linv, bandl, preferred_element_type=policy.accum,
+                   precision=fprec).astype(aloc.dtype)
+    farmask = gcols >= sbe                                           # (w,)
+    # write the far U12 rows back to their owners
+    for idx, i in enumerate(range(s0 // b, sbe // b)):
+        lr = (i // gp) * b
+        cur = jax.lax.dynamic_slice(aloc, (lr, 0), (b, w))
+        new = jnp.where((pp == (i % gp)) & farmask[None, :],
+                        u12f[idx * b:(idx + 1) * b, :], cur)
+        aloc = jax.lax.dynamic_update_slice(aloc, new, (lr, 0))
+    # far trailing GEMM on the uniform tail windows (in-window columns left
+    # of sbe see a bit-exact x - 0 through the masked U12)
+    rtf = min((sbe // b) // gp, nlp - 1) * b
+    ctf = min((sbe // b) // gq, nlq - 1) * b
+    gin = policy.gemm_in
+    lg = jnp.where((grows >= sbe)[:, None], lloc, 0).astype(gin)
+    u12fm = jnp.where(farmask[None, :], u12f, 0).astype(gin)
+    upd = jnp.dot(lg[rtf:], u12fm[:, ctf:], preferred_element_type=policy.accum,
+                  precision=_mm_precision(lg))
+    tail = (aloc[rtf:, ctf:].astype(policy.accum) - upd).astype(aloc.dtype)
+    return aloc.at[rtf:, ctf:].set(tail)
+
+
+def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy,
+                         super_block="auto"):
     """Fused-kernel variant of :func:`_dist_lu_local`: the replicated (n, b)
     block column is factored with the single-chip fused pipeline
     (strip-blocked pivot kernel, rowblock assembly, streaming update —
     `ops/panel_strip.py` / `ops/panel_fused.py`), so a (1, 1)-mesh run is
     structurally the single-chip driver plus no-op collectives.  The step
     loop is unrolled at trace time (static offsets, like the single-chip
-    outer loop)."""
+    outer loop).  Three-level blocking (`super_block`, same resolution rule
+    as the single-chip driver): per-step trailing work is confined to the
+    superblock's remaining columns and the far window is updated once per
+    superblock by :func:`_dist_super_far`."""
+    from mpf_tpu.models.mpf import _resolve_super
+
+    S = _resolve_super(n, b, super_block)
     aloc = tile[0, 0]
     h, w = aloc.shape
     pp = jax.lax.axis_index(ROW_AXIS)
@@ -335,20 +409,31 @@ def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy):
             jnp.where(qq == qk, pmine, cur)
         )
 
+        # superblock window: per-step (mid) trailing work stays inside
+        # [off + b, sbe); the far window [sbe, n) is updated once per
+        # superblock at the boundary step (single-chip `_trailing_update`
+        # deferral, SPMD form)
+        sbe = n if S is None else min(off - off % S + S, n)
+        boundary = S is not None and off + b == sbe and sbe < n
+
         # -- U12 row block: replicate owner's rows, TRSM by blocked inverse
-        rowsl = aloc[il * b : (il + 1) * b, :]
-        rowsl = jnp.where(pp == pk, rowsl, jnp.zeros_like(rowsl))
-        rowsl = jax.lax.psum(rowsl, ROW_AXIS)
-        linv = unit_lower_inv_blocked(u_all, base=min(r, 128))
-        u12 = jnp.dot(
-            linv, rowsl, preferred_element_type=policy.accum,
-            precision=_mm_precision(linv),
-        ).astype(aloc.dtype)
-        colmask = gcols >= off + b
-        cur_row = aloc[il * b : (il + 1) * b, :]
-        aloc = aloc.at[il * b : (il + 1) * b, :].set(
-            jnp.where((pp == pk) & colmask[None, :], u12, cur_row)
-        )
+        # (mid columns only; far U12 is computed by the boundary-wide TRSM)
+        colmask = (gcols >= off + b) & (gcols < sbe)
+        if off + b < sbe:
+            rowsl = aloc[il * b : (il + 1) * b, :]
+            rowsl = jnp.where(pp == pk, rowsl, jnp.zeros_like(rowsl))
+            rowsl = jax.lax.psum(rowsl, ROW_AXIS)
+            linv = unit_lower_inv_blocked(u_all, base=min(r, 128))
+            u12 = jnp.dot(
+                linv, rowsl, preferred_element_type=policy.accum,
+                precision=_mm_precision(linv),
+            ).astype(aloc.dtype)
+            cur_row = aloc[il * b : (il + 1) * b, :]
+            aloc = aloc.at[il * b : (il + 1) * b, :].set(
+                jnp.where((pp == pk) & colmask[None, :], u12, cur_row)
+            )
+        else:
+            u12 = jnp.zeros((b, w), aloc.dtype)
 
         # -- lookahead narrow update + next-panel gather -------------------
         # The trailing work is confined to the STATIC local windows
@@ -363,7 +448,20 @@ def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy):
         u12m = jnp.where(colmask[None, :], u12, 0)
         rt = min((k + 1) // gp, nlp - 1) * b
         ct = min((k + 1) // gq, nlq - 1) * b
-        if k + 1 < nb:
+        # smallest uniform local window containing every device's mid
+        # columns; in-window columns >= sbe see a bit-exact x - 0 through
+        # the colmask-zeroed U12
+        ct2 = min(-(-(sbe // b) // gq), nlq) * b
+        if k + 1 < nb and boundary:
+            # superblock boundary: the next panel lives in the FAR window,
+            # so the wide deferred update must land before its gather (the
+            # narrow lookahead is subsumed by it)
+            aloc = _dist_super_far(
+                aloc, sbe - S, sbe, n=n, b=b, r=r, gp=gp, gq=gq, pp=pp, qq=qq,
+                grows=grows, gcols=gcols, policy=policy,
+            )
+            panel = gather_panel(aloc, k + 1)
+        elif k + 1 < nb:
             jl2, qk2 = (k + 1) // gq, (k + 1) % gq
             ucol = u12m[:, jl2 * b : (jl2 + 1) * b]
             updn = jnp.dot(
@@ -380,19 +478,23 @@ def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy):
             skip = (qq == qk2) & (cidx == jl2)
             u12m = jnp.where(skip[None, :], 0, u12m)
 
-            # -- trailing update (one local MXU GEMM on the tail window) ---
-            upd = jnp.dot(
-                lg[rt:], u12m[:, ct:].astype(policy.gemm_in),
-                preferred_element_type=policy.accum, precision=gemm_prec,
-            )
-            tail = (aloc[rt:, ct:].astype(policy.accum) - upd).astype(aloc.dtype)
-            aloc = aloc.at[rt:, ct:].set(tail)
+            # -- trailing update (one local MXU GEMM on the tail window,
+            # mid columns only) --------------------------------------------
+            if ct < ct2:
+                upd = jnp.dot(
+                    lg[rt:], u12m[:, ct:ct2].astype(policy.gemm_in),
+                    preferred_element_type=policy.accum, precision=gemm_prec,
+                )
+                tail = (
+                    aloc[rt:, ct:ct2].astype(policy.accum) - upd
+                ).astype(aloc.dtype)
+                aloc = aloc.at[rt:, ct:ct2].set(tail)
 
     return aloc[None, None], ipiv, info, permc
 
 
 def make_dist_lu(n: int, b: int, mesh, policy: PrecisionPolicy = MPF_BF16,
-                 pivot: bool = True, r: int = 128):
+                 pivot: bool = True, r: int = 128, super_block="auto"):
     """Build the jitted SPMD factorizer over ``mesh`` for (P,Q,H,W) tiles.
 
     Returns ``fn(tiles) -> (tiles_lu, ipiv, info, perm)`` where
@@ -410,7 +512,7 @@ def make_dist_lu(n: int, b: int, mesh, policy: PrecisionPolicy = MPF_BF16,
     if _dist_fused_ok(n, b, r, policy, pivot):
         body = functools.partial(
             _dist_lu_local_fused, n=n, b=b, r=r, gp=gp, gq=gq, nb=nb,
-            policy=policy,
+            policy=policy, super_block=super_block,
         )
     else:
         body = functools.partial(

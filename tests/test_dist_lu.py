@@ -116,3 +116,45 @@ def test_dist_bad_dims():
     mesh = make_mesh((2, 4))
     with pytest.raises(ValueError):
         dist_factorize(jnp.zeros((30, 30)), mesh, b=4)
+
+
+def test_dist_fused_superblock_matches_single_chip(monkeypatch):
+    """Three-level blocking on the fused dist path: same update schedule as
+    the superblocked single-chip driver (mid per block, one wide far GEMM
+    per superblock), so pivots/perm match it exactly and the oracle holds.
+    Interpret mode on a (2, 2) CPU mesh."""
+    from jax.experimental.pallas import tpu as pltpu
+    import mpf_tpu.config as cfg
+    from mpf_tpu.parallel.dist_lu import make_dist_lu, _dist_fused_ok
+    from mpf_tpu.parallel.block_cyclic import to_block_cyclic, from_block_cyclic
+
+    import mpf_tpu.models.mpf as M
+
+    n, b, r, S = 512, 64, 8, 256
+    mesh = make_mesh((2, 2), devices=jax.devices()[:4])
+    a = matgen.random_dense(n, seed=17)  # pivot-heavy
+    tiles = to_block_cyclic(jnp.asarray(a, jnp.float32), 2, 2, b)
+
+    monkeypatch.setattr(M, "_PAD_QUANTUM", 128)
+    monkeypatch.setattr(M, "_FUSED_RB", 128)
+    monkeypatch.setattr(cfg, "_USE_PALLAS", "1")
+    assert _dist_fused_ok(n, b, r, MPF_BF16, True)
+    with pltpu.force_tpu_interpret_mode():
+        t_f, ipiv_f, info_f, perm_f = jax.tree.map(
+            np.asarray,
+            make_dist_lu(n, b, mesh, MPF_BF16, r=r, super_block=S)(tiles),
+        )
+        res_s = jax.tree.map(
+            np.asarray,
+            M.mpf_factorize_traced(
+                jnp.asarray(a, jnp.float32), r=r, policy=MPF_BF16, block=b,
+                super_block=S,
+            ),
+        )
+    lu_f = from_block_cyclic(t_f, n, b)
+    rep = check_factorization(
+        a.astype(np.float64), np.asarray(lu_f), ipiv_f, nbe_tol=1e-3
+    )
+    assert rep.ok, str(rep)
+    np.testing.assert_array_equal(ipiv_f, res_s.ipiv)
+    np.testing.assert_array_equal(perm_f, res_s.perm)
