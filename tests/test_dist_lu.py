@@ -130,7 +130,7 @@ def test_dist_fused_superblock_matches_single_chip(monkeypatch):
 
     import mpf_tpu.models.mpf as M
 
-    n, b, r, S = 512, 64, 8, 256
+    n, b, r, S = 512, 128, 8, 256
     mesh = make_mesh((2, 2), devices=jax.devices()[:4])
     a = matgen.random_dense(n, seed=17)  # pivot-heavy
     tiles = to_block_cyclic(jnp.asarray(a, jnp.float32), 2, 2, b)
