@@ -287,6 +287,27 @@ def cmd_micro(args):
     print(f"rooflines per iter: HBM(a r+w) {hbm_ms:.2f} ms, "
           f"MXU {mxu_ms:.2f} ms", flush=True)
 
+    # ---- superblock far GEMM (kk=4096): adaptive (ti, t) choice A/B ------
+    kw = min(4096, m)
+    l21w = jnp.asarray(rng.standard_normal((m, kw)) / 64.0, l21.dtype)
+    u12w = jnp.asarray(rng.standard_normal((kw, m)), l21.dtype)
+
+    def tgemmw(a):
+        def body(t, a):
+            return trailing_gemm_sub(a, l21w, u12w, 0)
+        return jax.lax.fori_loop(0, iters, body, a)
+
+    def tgemmw1k(a):
+        def body(t, a):
+            return trailing_gemm_sub(a, l21w, u12w, 0, _ti=1024)
+        return jax.lax.fori_loop(0, iters, body, a)
+
+    bench(f"far GEMM kk={kw} auto", tgemmw, a_full)
+    bench(f"far GEMM kk={kw} ti=1024", tgemmw1k, a_full)
+    mxu_w = 2 * m * m * kw / 194e12 * 1e3
+    print(f"far rooflines per iter: HBM {hbm_ms:.2f} ms, MXU {mxu_w:.2f} ms",
+          flush=True)
+
 
 def cmd_solve(args):
     import jax.numpy as jnp
