@@ -138,7 +138,9 @@ def main():
     # n=65536 with the ALL_BF16 policy.  Machine-readable every round.
     northstar_tflops = northstar_err = None
     ns_n = int(os.environ.get("BENCH_NORTHSTAR_N", "65536"))
-    if ns_n and ns_n > n:
+    if ns_n:
+        # always its own measurement: the north-star gate is ALL_BF16 at
+        # ns_n, never the MPF_BF16 headline number (different policy)
         try:
             ns_secs = _measure_factor(
                 ns_n, r, int(os.environ.get("BENCH_NORTHSTAR_BLOCK", str(block))),
@@ -148,8 +150,6 @@ def main():
             northstar_err = _short_err(e)
             print(f"WARNING: north-star n={ns_n} run failed: {northstar_err}",
                   file=sys.stderr)
-    elif ns_n and ns_n <= n:
-        northstar_tflops = ours
 
     # IR gate (BASELINE.json config 3): solution backward error after <=3
     # Richardson sweeps on the bf16-GEMM factors must reach O(eps_fp32)

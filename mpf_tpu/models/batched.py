@@ -58,7 +58,10 @@ def batched_solve(a: jax.Array, b: jax.Array, r: int = 128,
 
     def one(m, rhs):
         res = mpf_factorize_traced(m, r=r, policy=policy, pivot=True)
-        return ir_solve(m.astype(policy.working), res.lu, res.ipiv, rhs, sweeps=sweeps).x
+        # pass the composed perm: without it every getrs inside the IR loop
+        # re-derives it from ipiv via an O(n) sequential fori_loop
+        return ir_solve(m.astype(policy.working), res.lu, res.ipiv, rhs,
+                        sweeps=sweeps, perm=res.perm).x
 
     from mpf_tpu import config
 

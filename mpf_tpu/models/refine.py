@@ -146,12 +146,15 @@ def solve(
         from mpf_tpu.ops.scaling import equilibrate as _equ
 
         a, rs, cs = _equ(a)
-        b = (b.astype(jnp.float32) * rs.astype(jnp.float32)).astype(b.dtype)
+        # scales apply along the ROW axis; multi-RHS b is (n, k)
+        rs_b = rs if b.ndim == 1 else rs[:, None]
+        b = (b.astype(jnp.float32) * rs_b.astype(jnp.float32)).astype(b.dtype)
 
     def _unscale(y):
         if cs is None:
             return y
-        return (y.astype(jnp.float32) * cs.astype(jnp.float32)).astype(y.dtype)
+        cs_y = cs if y.ndim == 1 else cs[:, None]
+        return (y.astype(jnp.float32) * cs_y.astype(jnp.float32)).astype(y.dtype)
 
     res = mpf_factorize(a, r=r, policy=policy, pivot=True)
     ir = ir_solve(a.astype(policy.working), res.lu, res.ipiv, b,

@@ -91,6 +91,7 @@ def _rows_exchange_kernel(
     kb = kmeta_ref[0]
     n1 = kmeta_ref[1]
     n2 = kmeta_ref[2]
+    nd = kmeta_ref[3]  # active (out-of-band) dest count = staged rows used
     grows = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
     srows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
 
@@ -205,8 +206,6 @@ def _rows_exchange_kernel(
             win_write(wps[slot, 1], slot).wait()
             wps[slot, 0] = 0
 
-    nbat8 = -(-nr // 8)  # staged batches available (static)
-
     def stile_read(t, slot):
         return pltpu.make_async_copy(
             stg_ref.at[pl.ds(pl.multiple_of(t * 8, 8), 8)], stile.at[slot],
@@ -290,7 +289,13 @@ def _rows_exchange_kernel(
 
                 stile_read(t8, sl8).wait()
 
-                @pl.when(t8 + 1 < nbat8)
+                # prefetch ONLY batches the sweep will actually consume:
+                # batch t is awaited iff some dest reaches scnt == t*8,
+                # i.e. iff t*8 < nd — gating on the static batch count
+                # nbat8 leaked an un-awaited DMA (and a pending semaphore
+                # increment) whenever nd < nr, which is every block column
+                # on the diagonally-dominant HPL corpus
+                @pl.when((t8 + 1) * 8 < nd)
                 def _():
                     stile_read(t8 + 1, 1 - sl8).start()
 
@@ -455,7 +460,7 @@ def rows_exchange(a, k, glist, dests, interpret=False):
     wid2 = jnp.where(e2 < n2, row2 // g, jnp.int32(-2))
     nxw = _next_distinct(wid2)
 
-    kmeta = jnp.stack([k, n1, n2]).astype(jnp.int32)
+    kmeta = jnp.stack([k, n1, n2, act_d.sum()]).astype(jnp.int32)
     a2, piv3, _ = _build_rows_exchange(n, w, nr, a.dtype.name, interpret)(
         r1s, pay1, t1, nxt1, row2, pay2, t2, nxw, kmeta, a
     )

@@ -555,6 +555,9 @@ def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
     # values are bf16-representable; in-strip fp32 corrections only add low
     # bits that a bf16-granular pivot choice may ignore).  The 16-bit
     # inverted-position field caps the window height at 65536 rows.
+    # Resolved by the caller (strip_panel_pivots) so the env knob is part
+    # of this builder's lru_cache key; the in-builder fallback serves only
+    # direct _build_strip_pivot callers (tools).
     quant16 = (
         panel_dtype == jnp.bfloat16
         and m <= 65536
@@ -684,6 +687,16 @@ def strip_panel_pivots(panel, off, pos, panel_dtype=None, interpret=False,
         [jnp.asarray(off, jnp.int32), jnp.asarray(jj0, jnp.int32)]
     )
     gm = m % 1024 == 0 and os.environ.get("MPF_GM", "1") != "0"
+    if _quant16 is None:
+        # resolve the env knob HERE, not inside the lru_cache'd builder —
+        # otherwise flipping MPF_QUANT16 in-process silently returns the
+        # cached kernel (it is a trace-time A/B knob, e.g. the 32kattr
+        # sweep legs)
+        _quant16 = (
+            panel_dtype == jnp.bfloat16
+            and m <= 65536
+            and os.environ.get("MPF_QUANT16", "1") != "0"
+        )
     fn = _build_strip_pivot(
         m, w, r, panel.dtype.name, panel_dtype.name, interpret, _quant16, gm
     )

@@ -45,7 +45,6 @@ from mpf_tpu.models.mpf import (
     _auto_panel_kernel,
     _auto_npv_kernel,
     _factor_block_column_fused,
-    _FUSED_RB,
 )
 from mpf_tpu.ops.getf2 import panel_pivots_perm, getf2_npv
 from mpf_tpu.ops.blas3 import (

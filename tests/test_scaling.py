@@ -68,3 +68,25 @@ def test_equilibrate_roundtrip_exact(rng):
     s, r, c = equilibrate(jnp.asarray(a))
     back = np.asarray(s, np.float32) / np.asarray(r)[:, None] / np.asarray(c)[None, :]
     np.testing.assert_array_equal(back, a)
+
+
+def test_equilibrated_solve_multi_rhs():
+    """Row/column scales must broadcast along the ROW axis for (n, k) RHS
+    blocks (advisor round-3 finding: 1-D rs/cs broadcast against the last
+    axis scaled the wrong axis / crashed for k != n)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mpf_tpu.models.refine import solve
+    from mpf_tpu.utils import matgen
+
+    n, k = 96, 3
+    rng = np.random.default_rng(5)
+    a = matgen.random_dense(n, seed=9).astype(np.float32)
+    a[0] *= 2.0 ** 12  # badly row-scaled so equilibration matters
+    b = rng.standard_normal((n, k)).astype(np.float32)
+    x, info = solve(jnp.asarray(a), jnp.asarray(b), r=16, equilibrate=True)
+    r = a.astype(np.float64) @ np.asarray(x, np.float64) - b
+    be = np.abs(r).max() / (
+        np.abs(a).sum(1).max() * np.abs(np.asarray(x)).max() + np.abs(b).max()
+    )
+    assert be < 1e-6, (be, info)

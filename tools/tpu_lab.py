@@ -17,7 +17,7 @@ Usage:  python tools/tpu_lab.py CMD [options]
   batched   [--bsz 4096 --n 256] batched driver vs XLA's batched LU
 
 Common options: --n, --r, --block, --policy {mpf_bf16,all_bf16,mpf_fp16,
-all_fp32,mpf_fp32}, --iters, --seed, --matrix {hpl,uniform}.
+pure_fp32,mpf_ref}, --iters, --seed, --matrix {hpl,uniform}.
 """
 
 import argparse
@@ -412,7 +412,9 @@ def build_args(d=None):
     p.add_argument("--r", type=int, default=128)
     p.add_argument("--block", type=int, default=1024)
     p.add_argument("--bsz", type=int, default=4096)
-    p.add_argument("--policy", default="mpf_bf16")
+    p.add_argument("--policy", default="mpf_bf16",
+                   choices=["mpf_bf16", "all_bf16", "mpf_fp16", "pure_fp32",
+                            "mpf_ref"])
     p.add_argument("--matrix", default="hpl", choices=["hpl", "uniform"])
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--iters-micro", type=int, default=64)
