@@ -50,7 +50,8 @@ def ablate(stage: str) -> bool:
     """Trace-time perf-attribution knob: ``MPF_ABLATE`` is a comma list of
     driver stages to skip (results become WRONG — measurement only).
     Stages: ``exchange`` (per-block-column physical row exchange),
-    ``outer`` (outer U12 + trailing GEMM), ``slabio`` (block-column slab
+    ``outer`` (outer U12 + trailing GEMM, mid AND far), ``far`` (only the
+    once-per-superblock deferred far update), ``slabio`` (block-column slab
     extract/writeback), ``a1`` (strip pivot kernel), ``a2`` (rowblock
     assembly), ``bstream`` (streaming panel update)."""
     return stage in os.environ.get("MPF_ABLATE", "").split(",")

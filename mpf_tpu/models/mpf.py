@@ -635,7 +635,8 @@ def mpf_factorize_traced(
             # full-width update.
             sb_end = n if S is None else min(k - k % S + S, n)
             a = _trailing_update(a, k, bc, sb_end, policy, fprec, lu11, r)
-            if S is not None and k + bc == sb_end and sb_end < n:
+            if (S is not None and k + bc == sb_end and sb_end < n
+                    and not config.ablate("far")):
                 s0 = sb_end - S
                 a = _trailing_update(
                     a, s0, S, n, policy, fprec, a[s0:sb_end, s0:sb_end], r
