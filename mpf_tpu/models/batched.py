@@ -50,6 +50,37 @@ def batched_factorize(
         return jax.vmap(fn)(a)
 
 
+def batched_factorize_dp(
+    a: jax.Array,
+    mesh=None,
+    r: int = 128,
+    policy: PrecisionPolicy = MPF_BF16,
+    pivot: bool = True,
+) -> MPFResult:
+    """Data-parallel batched LU: shard the batch axis across the mesh.
+
+    BASELINE config 5's scaling axis (4096 independent 256^2 LUs): each
+    device factors batch/n_devices matrices with ZERO communication — every
+    op in the vmapped driver is batch-pointwise, so XLA partitions the whole
+    computation along the batch dimension from the input sharding alone.
+    ``mesh`` defaults to a 1D mesh over all visible devices (axis "dp");
+    a 2D (p, q) mesh from :func:`mpf_tpu.parallel.make_mesh` also works —
+    the batch axis is sharded over ALL its axes."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    if mesh is None:
+        import numpy as np
+
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
+    axes = tuple(mesh.axis_names)
+    bsz = a.shape[0]
+    if bsz % mesh.devices.size:
+        raise ValueError(
+            f"batch {bsz} not divisible by {mesh.devices.size} devices")
+    a = jax.device_put(a, NamedSharding(mesh, PartitionSpec(axes)))
+    return batched_factorize(a, r=r, policy=policy, pivot=pivot)
+
+
 @functools.partial(jax.jit, static_argnames=("r", "policy", "sweeps"))
 def batched_solve(a: jax.Array, b: jax.Array, r: int = 128,
                   policy: PrecisionPolicy = MPF_BF16, sweeps: int = 2):
