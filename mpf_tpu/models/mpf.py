@@ -418,25 +418,63 @@ def _resolve_super(n: int, block: int, super_block) -> int | None:
     return super_block
 
 
-def _trailing_update(a, ks: int, kw: int, ce: int, policy, fprec, lu_diag, r):
+def _trailing_update(a, ks: int, kw: int, ce: int, policy, fprec, lu_diag, r,
+                     u12_block: int | None = None):
     """Deferred-window trailing update from the ``kw``-wide packed diagonal
     block at ``ks``: U12 := L11^{-1} A12 over columns [ks+kw, ce), then
     A[ks+kw:, ks+kw:ce] -= L21 @ U12.  ``ce == n`` reproduces the classic
     full-width right-looking update (reference `MPF.cu:215-239`); the
     three-level driver also calls it with ``ce`` = superblock end (narrow
-    mid update) and with ``kw`` = superblock width (wide far update)."""
+    mid update) and with ``kw`` = superblock width (wide far update,
+    ``u12_block`` set)."""
     n = a.shape[0]
     e = ks + kw
     w = ce - e
     if w <= 0:
         return a
-    # U12 block: L11^{-1} A12 via log-depth blocked triangular inverse
-    linv = unit_lower_inv_blocked(lu_diag, base=min(r, 128))
-    a12 = jax.lax.dynamic_slice(a, (ks, e), (kw, w))
-    u12 = jnp.dot(
-        linv, a12, preferred_element_type=policy.accum, precision=fprec
-    ).astype(a.dtype)
-    a = jax.lax.dynamic_update_slice(a, u12, (ks, e))
+    if u12_block and kw > u12_block:
+        # Blocked far-U12 (three-level driver): a one-shot dense
+        # linv(kw) @ A12 costs 2 kw^2 w flops at fp32-HIGHEST (6-pass MXU
+        # emulation, ~1/6 rate) — kw/u12_block x the fp32 TRSM flops the
+        # two-level driver spends on the same columns, which measured +88 ms
+        # at n=32768 S=4096 and erased the RMW saving.  Solve per inner
+        # block instead and push the inter-block coupling into
+        # ``policy.gemm_in``-precision correction GEMMs (full MXU rate).
+        for bs in range(0, kw, u12_block):
+            bw = min(u12_block, kw - bs)
+            d = jax.lax.dynamic_slice(a, (ks + bs, ks + bs), (bw, bw))
+            linv_b = unit_lower_inv_blocked(d, base=min(r, 128))
+            a12_b = jax.lax.dynamic_slice(a, (ks + bs, e), (bw, w))
+            u12_b = jnp.dot(
+                linv_b, a12_b, preferred_element_type=policy.accum,
+                precision=fprec,
+            ).astype(a.dtype)
+            a = jax.lax.dynamic_update_slice(a, u12_b, (ks + bs, e))
+            rem = kw - bs - bw
+            if rem:
+                l21_b = jax.lax.dynamic_slice(
+                    a, (ks + bs + bw, ks + bs), (rem, bw)
+                ).astype(policy.gemm_in)
+                corr = jnp.dot(
+                    l21_b, u12_b.astype(policy.gemm_in),
+                    preferred_element_type=policy.accum,
+                    precision=_mm_precision(l21_b),
+                )
+                band = (
+                    jax.lax.dynamic_slice(
+                        a, (ks + bs + bw, e), (rem, w)
+                    ).astype(policy.accum) - corr
+                ).astype(a.dtype)
+                a = jax.lax.dynamic_update_slice(a, band, (ks + bs + bw, e))
+        u12 = jax.lax.dynamic_slice(a, (ks, e), (kw, w))
+    else:
+        # U12 block: L11^{-1} A12 via log-depth blocked triangular inverse
+        linv = unit_lower_inv_blocked(lu_diag, base=min(r, 128))
+        a12 = jax.lax.dynamic_slice(a, (ks, e), (kw, w))
+        u12 = jnp.dot(
+            linv, a12, preferred_element_type=policy.accum, precision=fprec
+        ).astype(a.dtype)
+        a = jax.lax.dynamic_update_slice(a, u12, (ks, e))
     # trailing update at true (static) sizes — the O(n^3) hot GEMM
     l21 = a[e:, ks:e].astype(policy.gemm_in)
     u12c = u12.astype(policy.gemm_in)
@@ -559,7 +597,17 @@ def mpf_factorize_traced(
                     # in the band), so gathering and scattering in the
                     # same window visit halves the window reads on
                     # pivot-heavy (uniform-corpus) inputs.
-                    if config.combined_exchange():
+                    # bf16 is interpret-only for the combined kernel today:
+                    # its single-row VMEM rings ((4,1,w) vbuf / (2,8,1,w)
+                    # stile) hit a Mosaic memref_slice crash under (2,128)
+                    # sublane packing on this toolchain (round-3 compiled
+                    # debut at n=65536 ALL_BF16) — bf16 buffers keep the
+                    # chip-proven split pair below.
+                    use_combined = config.combined_exchange() and (
+                        a.dtype == jnp.float32
+                        or jax.default_backend() != "tpu"
+                    )
+                    if use_combined:
                         from mpf_tpu.ops.exchange import rows_exchange
 
                         a, pivrows = rows_exchange(a, k, glist_b, dests_b)
@@ -639,7 +687,7 @@ def mpf_factorize_traced(
                     and not config.ablate("far")):
                 s0 = sb_end - S
                 a = _trailing_update(
-                    a, s0, S, n, policy, fprec, a[s0:sb_end, s0:sb_end], r
+                    a, s0, S, n, policy, fprec, None, r, u12_block=block
                 )
 
     return MPFResult(lu=a, ipiv=ipiv, info=info, perm=perm_total)

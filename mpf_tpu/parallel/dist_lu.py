@@ -256,10 +256,6 @@ def _dist_super_far(aloc, s0, sbe, *, n, b, r, gp, gq, pp, qq, grows, gcols,
         for i in range(s0 // b, sbe // b)
     ]
     lss = jax.lax.psum(jnp.concatenate(bparts, axis=0), ROW_AXIS)   # (S, S)
-    # base must match the single-chip far update (`_trailing_update`) so the
-    # (1,1)-mesh run stays bit-identical to the superblocked single-chip
-    # driver (the parity the fused dist path is tested on)
-    linv = unit_lower_inv_blocked(lss, base=min(r, 128))
     # replicated band rows of the local tiles (raw A12 — far columns
     # received NO updates from this superblock's panels, by deferral)
     aparts = [
@@ -269,8 +265,37 @@ def _dist_super_far(aloc, s0, sbe, *, n, b, r, gp, gq, pp, qq, grows, gcols,
         for i in range(s0 // b, sbe // b)
     ]
     bandl = jax.lax.psum(jnp.concatenate(aparts, axis=0), ROW_AXIS)  # (S, w)
-    u12f = jnp.dot(linv, bandl, preferred_element_type=policy.accum,
-                   precision=fprec).astype(aloc.dtype)
+    # Blocked far-U12, mirroring the single-chip `_trailing_update`
+    # ``u12_block=b`` branch OPERATION-FOR-OPERATION (inner-block linv base,
+    # gemm_in correction casts, accum subtract) so the fused dist run stays
+    # bit-identical to the superblocked single-chip driver on far columns —
+    # the parity the fused dist path is tested on.  Columns are independent
+    # in every op here, so running it on ALL local columns (non-far columns
+    # are masked away below) preserves that identity.
+    gin = policy.gemm_in
+    u12f = bandl
+    for bs in range(0, S, b):
+        dblk = jax.lax.dynamic_slice(lss, (bs, bs), (b, b))
+        linv_b = unit_lower_inv_blocked(dblk, base=min(r, 128))
+        u12_b = jnp.dot(
+            linv_b, jax.lax.dynamic_slice(u12f, (bs, 0), (b, w)),
+            preferred_element_type=policy.accum, precision=fprec,
+        ).astype(aloc.dtype)
+        u12f = jax.lax.dynamic_update_slice(u12f, u12_b, (bs, 0))
+        rem = S - bs - b
+        if rem:
+            l21_b = jax.lax.dynamic_slice(lss, (bs + b, bs), (rem, b)).astype(gin)
+            corr = jnp.dot(
+                l21_b, u12_b.astype(gin),
+                preferred_element_type=policy.accum,
+                precision=_mm_precision(l21_b),
+            )
+            band = (
+                jax.lax.dynamic_slice(u12f, (bs + b, 0), (rem, w)).astype(
+                    policy.accum
+                ) - corr
+            ).astype(aloc.dtype)
+            u12f = jax.lax.dynamic_update_slice(u12f, band, (bs + b, 0))
     farmask = gcols >= sbe                                           # (w,)
     # write the far U12 rows back to their owners
     for idx, i in enumerate(range(s0 // b, sbe // b)):
@@ -283,7 +308,6 @@ def _dist_super_far(aloc, s0, sbe, *, n, b, r, gp, gq, pp, qq, grows, gcols,
     # of sbe see a bit-exact x - 0 through the masked U12)
     rtf = min((sbe // b) // gp, nlp - 1) * b
     ctf = min((sbe // b) // gq, nlq - 1) * b
-    gin = policy.gemm_in
     lg = jnp.where((grows >= sbe)[:, None], lloc, 0).astype(gin)
     u12fm = jnp.where(farmask[None, :], u12f, 0).astype(gin)
     upd = jnp.dot(lg[rtf:], u12fm[:, ctf:], preferred_element_type=policy.accum,
