@@ -393,15 +393,14 @@ def _factor_block_column(slab, kk, r, policy, pivot, panel_kernel):
 
 def _resolve_super(n: int, block: int, super_block) -> int | None:
     """Resolve the superblock width for three-level blocking (``None``
-    disables it).  ``"auto"`` (default; env ``MPF_SUPER`` overrides: ``0``
-    disables, an integer forces) enables S = 4096-aligned-to-block when the
-    problem is big enough for the deferred-update traffic win to matter.
-
-    Rationale: the outer trailing GEMM's A22 read-modify-write traffic is
-    ~8 n^3 / (3 * width) bytes — re-touching the far trailing matrix every
-    ``block`` columns is the HBM floor of the flagship size (n=32768
-    MPF_BF16: ~91 GB at block=1024).  Deferring far updates to every S
-    columns cuts that to ~8 n^3/(3 S) + a small within-superblock term."""
+    disables it).  ``"auto"`` (the default) resolves to **disabled**: the
+    deferred-far-update structure LOST its chip A/Bs on both headline
+    configs — n=32768 MPF_BF16 551 vs 484 ms and n=65536 ALL_BF16 1640 vs
+    1522 ms (v5e, round 3) — even with the blocked far-U12 that keeps its
+    fp32 TRSM flops identical to two-level.  The predicted A22 RMW saving
+    (~8n^3/3 * (1/block - 1/S) bytes) did not materialize as wall-clock;
+    the structure remains available for experimentation via an explicit
+    ``super_block=<int>`` or ``MPF_SUPER=<int>`` (``0`` disables)."""
     import os
 
     env = os.environ.get("MPF_SUPER", "")
@@ -409,9 +408,7 @@ def _resolve_super(n: int, block: int, super_block) -> int | None:
         super_block = None if env in ("0", "none") else (
             "auto" if env == "auto" else int(env))
     if super_block == "auto":
-        s = max(4096, block)
-        s = -(-s // block) * block  # round up to a block multiple
-        super_block = s if n >= 2 * s else None
+        super_block = None
     if super_block is not None:
         if super_block % block or super_block <= block or n < 2 * super_block:
             return None

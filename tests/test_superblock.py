@@ -86,12 +86,10 @@ def test_superblock_fused_interpret(matname, gen, pol, tol, monkeypatch):
 
 
 def test_resolve_super():
-    # auto: on only when n >= 2*S, S = 4096 rounded up to a block multiple
-    assert _resolve_super(32768, 1024, "auto") == 4096
-    assert _resolve_super(32768, 2048, "auto") == 4096
-    assert _resolve_super(32768, 3072, "auto") == 6144
-    assert _resolve_super(8192, 1024, "auto") == 4096
-    assert _resolve_super(4096, 1024, "auto") is None
+    # auto resolves to DISABLED (lost its chip A/Bs on both headline
+    # configs, round 3); explicit values still work
+    assert _resolve_super(32768, 1024, "auto") is None
+    assert _resolve_super(8192, 1024, "auto") is None
     assert _resolve_super(2048, 1024, "auto") is None
     # explicit
     assert _resolve_super(32768, 1024, None) is None
@@ -108,4 +106,4 @@ def test_resolve_super_env(monkeypatch):
     monkeypatch.setenv("MPF_SUPER", "8192")
     assert _resolve_super(32768, 1024, "auto") == 8192
     monkeypatch.setenv("MPF_SUPER", "auto")
-    assert _resolve_super(32768, 1024, None) == 4096
+    assert _resolve_super(32768, 1024, None) is None

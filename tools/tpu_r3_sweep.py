@@ -194,8 +194,11 @@ def main():
         rn = np.asarray(out.residual_norms, np.float64)
         log(f"solve n={n}: residual norms {rn} in {time.time()-t0:.0f}s "
             "(compile incl)")
+        # a/b must be ARGUMENTS: time_fn jits its wrapper, and closed-over
+        # device arrays become lowering-time constants (the 4.3 GB matrix
+        # baked into the executable hung the round-3 sweep here)
         secs, _ = time_fn(
-            lambda _: mpf_tpu.mpf_solve(a, b, r=128, sweeps=3).x, 0,
+            lambda x, rhs: mpf_tpu.mpf_solve(x, rhs, r=128, sweeps=3).x, a, b,
             warmup=0, iters=2,
         )
         log(f"solve n={n}: {secs*1e3:.1f} ms end-to-end (factor+IR)")
