@@ -183,6 +183,21 @@ def main():
     if "64kblk" in phases:
         measure(65536, ALL_BF16, "hpl", block=2048)
 
+    if "confirm" in phases:
+        # round-3 closing confirmation: combine the sweep-3 A/B winners
+        # (block=2048 won by 34 ms, MPF_SPLITB=0 by 10 ms at n=32768) and
+        # measure the prospective default on BOTH corpora (uniform = the
+        # honest pivot-heavy number, VERDICT item 4); same env key => the
+        # uniform leg reuses the compiled driver.
+        os.environ["MPF_SPLITB"] = "0"
+        log("-- confirm: 32k block=2048 + MPF_SPLITB=0 (combined winners)")
+        measure(32768, MPF_BF16, "hpl", block=2048)
+        log("-- confirm: 32k block=2048 + MPF_SPLITB=0, uniform corpus")
+        measure(32768, MPF_BF16, "uniform", block=2048)
+        del os.environ["MPF_SPLITB"]
+        log("-- confirm: 64k ALL_BF16 block=2048")
+        measure(65536, ALL_BF16, "hpl", block=2048)
+
     if "solve" in phases:
         from mpf_tpu.utils.timing import time_fn
 
@@ -196,10 +211,12 @@ def main():
             "(compile incl)")
         # a/b must be ARGUMENTS: time_fn jits its wrapper, and closed-over
         # device arrays become lowering-time constants (the 4.3 GB matrix
-        # baked into the executable hung the round-3 sweep here)
+        # baked into the executable hung the round-3 sweep here).  warmup=1:
+        # with warmup=0 the wrapper's fresh compile (~60-100 s at n=32768)
+        # landed inside the timed region (sweep-3's bogus 126.6 s reading).
         secs, _ = time_fn(
             lambda x, rhs: mpf_tpu.mpf_solve(x, rhs, r=128, sweeps=3).x, a, b,
-            warmup=0, iters=2,
+            warmup=1, iters=2,
         )
         log(f"solve n={n}: {secs*1e3:.1f} ms end-to-end (factor+IR)")
 
