@@ -73,7 +73,9 @@ def _measure_factor(n, r, block, policy, super_block="auto"):
 def main():
     n = int(os.environ.get("BENCH_N", "32768"))
     r = int(os.environ.get("BENCH_R", "128"))
-    block = int(os.environ.get("BENCH_BLOCK", "1024"))
+    # block=2048 from the end-of-round-3 chip A/B (STATUS.md ledger):
+    # 466.7 ms vs 503.4 ms at n=32768 MPF_BF16 with block=1024
+    block = int(os.environ.get("BENCH_BLOCK", "2048"))
     policy = MPF_BF16
 
     # headline size first (BASELINE.json primary metric: LU TFLOP/s at
@@ -142,8 +144,11 @@ def main():
         # always its own measurement: the north-star gate is ALL_BF16 at
         # ns_n, never the MPF_BF16 headline number (different policy)
         try:
+            # north-star block pinned to its own measured winner (64k
+            # ALL_BF16 ran at block=1024 for the 1522 ms / 63.5% result;
+            # do NOT inherit the 32k headline block)
             ns_secs = _measure_factor(
-                ns_n, r, int(os.environ.get("BENCH_NORTHSTAR_BLOCK", str(block))),
+                ns_n, r, int(os.environ.get("BENCH_NORTHSTAR_BLOCK", "1024")),
                 ALL_BF16)
             northstar_tflops = tflops(ns_n, ns_secs)
         except Exception as e:  # noqa: BLE001

@@ -1021,13 +1021,18 @@ def panel_apply_update_trim(slab, pos, rowblock, uinv, j0, jj0, rb=512,
     block at all.  ``rb`` is kept as a compatibility floor; the split
     passes pick their own tiles.
 
-    ``MPF_SPLITB=0`` (trace-time A/B knob) restores the round-2 uniform
-    single-pass kernel — the chip-proven fallback for the split form's
-    compiled-mode debut, and the attribution baseline."""
+    ``MPF_SPLITB`` (trace-time A/B knob) selects between the split form and
+    the round-2 uniform single-pass kernel.  Default is by working dtype,
+    from the end-of-round-3 chip A/Bs (STATUS.md ledger): fp32 slabs take
+    the single-pass kernel (n=32768 MPF_BF16: 493.5 vs 503.4 ms), bf16
+    slabs keep the split form (part of the n=65536 ALL_BF16 1910->1522 ms
+    batch; fp32's extra bytes/row halve the grid-step overhead the split
+    form exists to amortize)."""
     m, bc = slab.shape
     r = rowblock.shape[0]
     meta = jnp.asarray(j0, jnp.int32).reshape(1)
-    if os.environ.get("MPF_SPLITB", "1") == "0":
+    default = "1" if slab.dtype == jnp.bfloat16 else "0"
+    if os.environ.get("MPF_SPLITB", default) == "0":
         fn = _build_apply_update_trim(
             m, bc, r, int(jj0), rb, slab.dtype.name, bool(gemm_bf16),
             interpret,
