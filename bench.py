@@ -73,9 +73,10 @@ def _measure_factor(n, r, block, policy, super_block="auto"):
 def main():
     n = int(os.environ.get("BENCH_N", "32768"))
     r = int(os.environ.get("BENCH_R", "128"))
-    # block=2048 from the end-of-round-3 chip A/B (STATUS.md ledger):
-    # 466.7 ms vs 503.4 ms at n=32768 MPF_BF16 with block=1024
-    block = int(os.environ.get("BENCH_BLOCK", "2048"))
+    # block=None -> the driver's chip-measured auto rule (STATUS.md ledger:
+    # 2048 for fp32-working n>=32768 = 466.7 ms vs 503.4 at 1024; 1024
+    # elsewhere), so the 16k size-fallback also gets its measured best
+    block = int(os.environ["BENCH_BLOCK"]) if os.environ.get("BENCH_BLOCK") else None
     policy = MPF_BF16
 
     # headline size first (BASELINE.json primary metric: LU TFLOP/s at

@@ -542,7 +542,13 @@ def mpf_factorize_traced(
         )
 
     if block is None:
-        block = max(r, min(n, 2048))
+        # chip-measured auto rule (STATUS.md round-3 A/B ledger): the wide
+        # block pays only where the fp32 trailing RMW dominates the panel
+        # overhead it adds — n=32768 fp32-working: 466.7 ms at 2048 vs
+        # 493.5 at 1024; but n=16384 fp32: 86.7 at 1024 vs 105.2 at 2048,
+        # and n=65536 bf16: 1522 at 1024 vs 1786 at 2048.
+        wide = n >= 32768 and jnp.dtype(policy.working) == jnp.dtype(jnp.float32)
+        block = max(r, min(n, 2048 if wide else 1024))
     block = max(block, r)
     S = _resolve_super(n, block, super_block)
     fprec = _mm_precision(a)
