@@ -600,16 +600,11 @@ def mpf_factorize_traced(
                     # in the band), so gathering and scattering in the
                     # same window visit halves the window reads on
                     # pivot-heavy (uniform-corpus) inputs.
-                    # bf16 is interpret-only for the combined kernel today:
-                    # its single-row VMEM rings ((4,1,w) vbuf / (2,8,1,w)
-                    # stile) hit a Mosaic memref_slice crash under (2,128)
-                    # sublane packing on this toolchain (round-3 compiled
-                    # debut at n=65536 ALL_BF16) — bf16 buffers keep the
-                    # chip-proven split pair below.
-                    use_combined = config.combined_exchange() and (
-                        a.dtype == jnp.float32
-                        or jax.default_backend() != "tpu"
-                    )
+                    # bf16 slabs use fp32-widened single-row staging inside
+                    # the kernel (Mosaic rejects (1, w) bf16 row slices
+                    # under (2,128) sublane packing; exact round trip) —
+                    # chip-validated end of round 3.
+                    use_combined = config.combined_exchange()
                     if use_combined:
                         from mpf_tpu.ops.exchange import rows_exchange
 

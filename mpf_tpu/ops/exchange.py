@@ -336,6 +336,15 @@ def _build_rows_exchange(n: int, w: int, nr: int, dtype_name: str,
     dt = jnp.dtype(dtype_name)
     g = _granule(dt)
     nr8 = -(-nr // 8) * 8
+    # Single-ROW staging buffers are always fp32: a (1, w) bf16 ref is
+    # sublane-padded to 2 under Mosaic's (2, 128) bf16 tiling, and slicing
+    # one row of it is rejected ("slice shape along dimension 1 must be
+    # aligned to tiling (2)" — the round-3 n=65536 ALL_BF16 compiled-debut
+    # crash).  fp32 (1, w) row DMAs are chip-proven (the n=32768 MPF_BF16
+    # default path); bf16 values round-trip bf16 -> f32 -> bf16 exactly, so
+    # the kernel stays bit-identical.  Window/band tiles (g rows, aligned)
+    # keep the slab dtype.
+    sdt = jnp.dtype(jnp.float32)
     kernel = functools.partial(_rows_exchange_kernel, nr=nr, g=g)
     return pl.pallas_call(
         kernel,
@@ -350,24 +359,25 @@ def _build_rows_exchange(n: int, w: int, nr: int, dtype_name: str,
                 pl.BlockSpec(memory_space=pl.ANY),          # staged
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, g, w), dt),     # band tiles (double-buffered)
-                pltpu.VMEM((4, g, w), dt),     # window ring
-                pltpu.VMEM((4, 1, w), dt),     # outgoing row ring
-                pltpu.VMEM((2, 8, 1, w), dt),  # staged batches (ping-pong)
-                pltpu.SMEM((4, 2), jnp.int32), # pending (kind, pos)/vbuf slot
-                pltpu.SMEM((4, 2), jnp.int32), # pending (flag, win)/wbuf slot
+                pltpu.VMEM((2, g, w), dt),      # band tiles (double-buffered)
+                pltpu.VMEM((4, g, w), dt),      # window ring
+                pltpu.VMEM((4, 1, w), sdt),     # outgoing row ring
+                pltpu.VMEM((2, 8, 1, w), sdt),  # staged batches (ping-pong)
+                pltpu.SMEM((4, 2), jnp.int32),  # pending (kind, pos)/vbuf slot
+                pltpu.SMEM((4, 2), jnp.int32),  # pending (flag, win)/wbuf slot
                 pltpu.SemaphoreType.DMA((16,)),
             ],
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, w), dt),
-            jax.ShapeDtypeStruct((nr, 1, w), dt),
-            jax.ShapeDtypeStruct((nr8, 1, w), dt),
+            jax.ShapeDtypeStruct((nr, 1, w), sdt),
+            jax.ShapeDtypeStruct((nr8, 1, w), sdt),
         ),
         input_output_aliases={9: 0},  # a, after the 9 scalar-prefetch args
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(min(
-                (6 * g + 16) * w * dt.itemsize + 8 * w * 4 + (24 << 20),
+                6 * g * w * dt.itemsize + 20 * w * sdt.itemsize
+                + 8 * w * 4 + (24 << 20),
                 120 << 20,
             )),
             has_side_effects=True,
@@ -464,4 +474,5 @@ def rows_exchange(a, k, glist, dests, interpret=False):
     a2, piv3, _ = _build_rows_exchange(n, w, nr, a.dtype.name, interpret)(
         r1s, pay1, t1, nxt1, row2, pay2, t2, nxw, kmeta, a
     )
-    return a2, piv3.reshape(nr, w)
+    # pivrows staging is fp32 (see _build_rows_exchange); exact for bf16
+    return a2, piv3.reshape(nr, w).astype(a.dtype)
