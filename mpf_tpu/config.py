@@ -46,6 +46,18 @@ def combined_exchange() -> bool:
     return os.environ.get("MPF_XCHG", "combined") != "split"
 
 
+def lazy_exchange() -> bool:
+    """``MPF_LAZY`` (default on): lazy left swaps (round 4, ScaLAPACK's
+    deferred-left-swap option).  Each fused block column's physical row
+    exchange covers only the column suffix right of the current width
+    quantum; the skipped swaps over already-factored L columns are applied
+    once per sealed column segment at the end (one staged streaming
+    repermutation, `ops/exchange.py:permute_rows_window`).  Halves average
+    exchanged bytes on pivot-heavy (uniform-corpus) inputs.  ``MPF_LAZY=0``
+    restores full-width exchanges."""
+    return os.environ.get("MPF_LAZY", "1") != "0"
+
+
 def ablate(stage: str) -> bool:
     """Trace-time perf-attribution knob: ``MPF_ABLATE`` is a comma list of
     driver stages to skip (results become WRONG — measurement only).

@@ -58,7 +58,7 @@ def _rows_exchange_kernel(
     nxw_ref, kmeta_ref,
     a_in_ref, a_ref, piv_ref, stg_ref,
     btile, wbuf, vbuf, stile, pend, wps, sems,
-    *, nr: int, g: int,
+    *, nr: int, g: int, ws: int, w: int,
 ):
     """See module docstring.  Scalar-prefetch layout:
 
@@ -92,6 +92,10 @@ def _rows_exchange_kernel(
     n1 = kmeta_ref[1]
     n2 = kmeta_ref[2]
     nd = kmeta_ref[3]  # active (out-of-band) dest count = staged rows used
+    # lazy-left-swap mode (round 4): only the column suffix [ws, ws+w) of
+    # the matrix is exchanged; ws is static (one kernel instance per
+    # quantized suffix width), so the column index bakes into the DMAs
+    ci = slice(None) if ws == 0 else pl.ds(ws, w)
     grows = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
     srows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
 
@@ -148,7 +152,7 @@ def _rows_exchange_kernel(
     # ---- phase 1: band stream (tile reads double-buffered) ---------------
     def btile_read(t, slot):
         return pltpu.make_async_copy(
-            a_ref.at[pl.ds(pl.multiple_of(kb + t * g, g), g), :],
+            a_ref.at[pl.ds(pl.multiple_of(kb + t * g, g), g), ci],
             btile.at[slot], sems.at[12 + slot],
         )
 
@@ -189,13 +193,13 @@ def _rows_exchange_kernel(
     # the NEXT window + write-behind of closed dirty windows) --------------
     def win_read(gr, slot):
         return pltpu.make_async_copy(
-            a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), :],
+            a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), ci],
             wbuf.at[slot], sems.at[4 + slot],
         )
 
     def win_write(gr, slot):
         return pltpu.make_async_copy(
-            wbuf.at[slot], a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), :],
+            wbuf.at[slot], a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), ci],
             sems.at[8 + slot],
         )
 
@@ -331,10 +335,11 @@ def _rows_exchange_kernel(
 
 
 @functools.lru_cache(maxsize=64)
-def _build_rows_exchange(n: int, w: int, nr: int, dtype_name: str,
-                         interpret: bool = False):
+def _build_rows_exchange(n: int, wfull: int, ws: int, nr: int,
+                         dtype_name: str, interpret: bool = False):
     dt = jnp.dtype(dtype_name)
     g = _granule(dt)
+    w = wfull - ws  # exchanged column suffix (lazy left swaps, round 4)
     nr8 = -(-nr // 8) * 8
     # Single-ROW staging buffers are always fp32: a (1, w) bf16 ref is
     # sublane-padded to 2 under Mosaic's (2, 128) bf16 tiling, and slicing
@@ -345,14 +350,14 @@ def _build_rows_exchange(n: int, w: int, nr: int, dtype_name: str,
     # the kernel stays bit-identical.  Window/band tiles (g rows, aligned)
     # keep the slab dtype.
     sdt = jnp.dtype(jnp.float32)
-    kernel = functools.partial(_rows_exchange_kernel, nr=nr, g=g)
+    kernel = functools.partial(_rows_exchange_kernel, nr=nr, g=g, ws=ws, w=w)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             # r1, pay1, t1, nxt1, row2, pay2, t2, nxw, kmeta
             num_scalar_prefetch=9,
             grid=(),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],   # a (n, w)
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],   # a (n, wfull)
             out_specs=(
                 pl.BlockSpec(memory_space=pl.ANY),          # a (aliased)
                 pl.BlockSpec(memory_space=pl.ANY),          # pivrows
@@ -369,7 +374,7 @@ def _build_rows_exchange(n: int, w: int, nr: int, dtype_name: str,
             ],
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n, w), dt),
+            jax.ShapeDtypeStruct((n, wfull), dt),
             jax.ShapeDtypeStruct((nr, 1, w), sdt),
             jax.ShapeDtypeStruct((nr8, 1, w), sdt),
         ),
@@ -400,12 +405,12 @@ def _next_distinct(wid):
     return jnp.where(nx < 0, jnp.int32(-1), nx)
 
 
-def rows_exchange(a, k, glist, dests, interpret=False):
+def rows_exchange(a, k, glist, dests, ws: int = 0, interpret=False):
     """One-sweep bounded row exchange.  Returns ``(a', pivrows)`` where
 
-      * ``pivrows[j] = a[glist[j], :]`` (values of the ORIGINAL ``a``) —
-        the caller writes it over the band ``a'[k:k+nr]``, and
-      * ``a'[dests[i], :] = a[k + i, :]`` for every i whose destination
+      * ``pivrows[j] = a[glist[j], ws:]`` (values of the ORIGINAL ``a``) —
+        the caller writes it over the band ``a'[k:k+nr, ws:]``, and
+      * ``a'[dests[i], ws:] = a[k + i, ws:]`` for every i whose destination
         lies outside the band [k, k+nr) (in-band destinations are covered
         by the band write; swap chains bottom out in the band, so they
         carry identical values).
@@ -415,8 +420,16 @@ def rows_exchange(a, k, glist, dests, interpret=False):
     out-of-band granule window ONCE instead of twice — on pivot-heavy
     (uniform-corpus) inputs the windows are nearly all distinct and the
     double read was the dominant exchange cost.
+
+    ``ws`` (static, lane-aligned) restricts the exchange to the column
+    suffix ``[ws, n)`` — the lazy-left-swap mode (round 4, ScaLAPACK's
+    deferred left swaps): the driver skips the already-factored L columns
+    left of the current width quantum and repermutes them once at the end
+    (:func:`permute_rows_window`), halving average exchanged bytes on
+    pivot-heavy inputs.
     """
-    n, w = a.shape
+    n, wfull = a.shape
+    w = wfull - ws
     g = _granule(a.dtype)
     nr = int(glist.shape[0])
     k = jnp.asarray(k, jnp.int32)
@@ -471,8 +484,358 @@ def rows_exchange(a, k, glist, dests, interpret=False):
     nxw = _next_distinct(wid2)
 
     kmeta = jnp.stack([k, n1, n2, act_d.sum()]).astype(jnp.int32)
-    a2, piv3, _ = _build_rows_exchange(n, w, nr, a.dtype.name, interpret)(
-        r1s, pay1, t1, nxt1, row2, pay2, t2, nxw, kmeta, a
-    )
+    a2, piv3, _ = _build_rows_exchange(
+        n, wfull, ws, nr, a.dtype.name, interpret
+    )(r1s, pay1, t1, nxt1, row2, pay2, t2, nxw, kmeta, a)
     # pivrows staging is fp32 (see _build_rows_exchange); exact for bf16
     return a2, piv3.reshape(nr, w).astype(a.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Deferred left-swap fixup (round 4): apply the composed permutation the lazy
+# exchanges skipped over a sealed column segment, in one staged two-phase
+# streaming pass instead of per-block-column window RMWs.
+# ---------------------------------------------------------------------------
+
+_PERM_CHUNK = 2048  # moved rows per kernel invocation (scalar-prefetch SMEM)
+
+
+def _perm_stage_kernel(src_ref, slot_ref, nxw_ref, cmeta_ref,
+                       a_ref, stg_in_ref, stg_ref,
+                       wtile, vbuf, pend, sems, *, g: int, w: int):
+    """Phase A of :func:`permute_rows_window`: extract this chunk's moved
+    source rows (sorted by granule window — each window read once, double
+    buffered via the ``nxw`` prefetch schedule) from the segment columns
+    [cs, cs+w) and write each as an fp32 (1, w) row to ``stg[slot]`` (its
+    destination rank).  No writes to ``a`` — every chunk's extraction
+    happens before any overlay, so later chunks never read overwritten
+    sources.  cmeta: [cs, c1]."""
+    f32 = jnp.float32
+    cs = pl.multiple_of(cmeta_ref[0], 128)
+    c1 = cmeta_ref[1]
+    grows = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+
+    def win_read(gr, slot):
+        return pltpu.make_async_copy(
+            a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), pl.ds(cs, w)],
+            wtile.at[slot], sems.at[4 + slot],
+        )
+
+    def row_write(slot, pos):
+        return pltpu.make_async_copy(
+            vbuf.at[slot], stg_ref.at[pos], sems.at[slot]
+        )
+
+    def body(e, carry):
+        last, word, wcnt = carry
+        s = src_ref[e]
+        gr = s // g
+        switch = (gr != last) | (word < 0)
+        word = word + switch.astype(jnp.int32)
+        cur = word % 2
+
+        @pl.when(switch)
+        def _():
+            @pl.when(word == 0)
+            def _():  # first window: nobody prefetched it
+                win_read(gr, cur).start()
+
+            win_read(gr, cur).wait()
+            nw = nxw_ref[e]
+
+            @pl.when(nw >= 0)
+            def _():  # prefetch the next distinct window
+                win_read(nw, 1 - cur).start()
+
+        val = jnp.sum(
+            jnp.where(grows == s % g, wtile[cur].astype(f32), 0.0),
+            axis=0, keepdims=True,
+        )
+        slot4 = wcnt % 4
+
+        @pl.when(wcnt >= 4)
+        def _():
+            row_write(slot4, pend[slot4, 0]).wait()
+
+        vbuf[slot4] = val
+        row_write(slot4, slot_ref[e]).start()
+        pend[slot4, 0] = slot_ref[e]
+        return jnp.where(switch, gr, last), word, wcnt + 1
+
+    _, _, wcnt = jax.lax.fori_loop(
+        0, c1, body, (jnp.int32(-1), jnp.int32(-1), jnp.int32(0))
+    )
+    for s4 in range(4):
+        @pl.when(s4 < wcnt)
+        def _():
+            row_write(s4, pend[s4, 0]).wait()
+
+
+def _perm_overlay_kernel(dst_ref, nxw_ref, cmeta_ref,
+                         stg_ref, a_in_ref, a_ref,
+                         wbuf, stile, wps, sems, *, g: int, w: int):
+    """Phase B of :func:`permute_rows_window`: RMW the granule windows
+    holding this chunk's moved destinations (ascending — each window
+    visited once per chunk; 4-slot ring with read-ahead + write-behind,
+    same discipline as `_rows_exchange_kernel` phase 2) and overlay the
+    staged rows, streamed sequentially in (8, 1, w) batches from global
+    slot base ``cmeta[2]``.  cmeta: [cs, c1, sbase]."""
+    f32 = jnp.float32
+    cs = pl.multiple_of(cmeta_ref[0], 128)
+    c1 = cmeta_ref[1]
+    sbase = cmeta_ref[2]
+    grows = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+    srows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
+
+    def win_read(gr, slot):
+        return pltpu.make_async_copy(
+            a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), pl.ds(cs, w)],
+            wbuf.at[slot], sems.at[4 + slot],
+        )
+
+    def win_write(gr, slot):
+        return pltpu.make_async_copy(
+            wbuf.at[slot],
+            a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), pl.ds(cs, w)],
+            sems.at[8 + slot],
+        )
+
+    def wps_wait(slot):
+        @pl.when(wps[slot, 0] == 1)
+        def _():
+            win_write(wps[slot, 1], slot).wait()
+            wps[slot, 0] = 0
+
+    def stile_read(t, slot):
+        return pltpu.make_async_copy(
+            stg_ref.at[pl.ds(pl.multiple_of(sbase + t * 8, 8), 8)],
+            stile.at[slot], sems.at[14 + slot],
+        )
+
+    for s in range(4):
+        wps[s, 0] = 0
+
+    def body(e, carry):
+        last_gr, word, scnt = carry
+        grow = dst_ref[e]
+        gr = grow // g
+        switch = (gr != last_gr) | (word < 0)
+        word = word + switch.astype(jnp.int32)
+        cur = word % 4
+
+        @pl.when(switch)
+        def _():
+            wps_wait(cur)  # slot reuse: ordinal word-4's write must land
+
+            @pl.when(word == 0)
+            def _():
+                win_read(gr, cur).start()
+
+            win_read(gr, cur).wait()
+            prev = (word + 3) % 4
+
+            @pl.when(word > 0)
+            def _():  # previous window is always dirty — close it
+                wps_wait(prev)
+                win_write(last_gr, prev).start()
+                wps[prev, 0] = 1
+                wps[prev, 1] = last_gr
+
+            nw = nxw_ref[e]
+
+            @pl.when(nw >= 0)
+            def _():
+                nslot = (word + 1) % 4
+                wps_wait(nslot)
+                win_read(nw, nslot).start()
+
+        last_gr = jnp.where(switch, gr, last_gr)
+        t8 = scnt // 8
+        sl8 = t8 % 2
+
+        @pl.when(scnt % 8 == 0)
+        def _():  # staged batches double-buffered; prefetch gated on the
+            # DYNAMIC count c1 (see the staged-DMA-leak note in
+            # `_rows_exchange_kernel`)
+            @pl.when(scnt == 0)
+            def _():
+                stile_read(0, 0).start()
+
+            stile_read(t8, sl8).wait()
+
+            @pl.when((t8 + 1) * 8 < c1)
+            def _():
+                stile_read(t8 + 1, 1 - sl8).start()
+
+        v = jnp.sum(
+            jnp.where(srows8 == scnt % 8, stile[sl8].astype(f32), 0.0),
+            axis=0,
+        )  # (1, w)
+        wbuf[cur] = jnp.where(
+            grows == grow % g, v.astype(wbuf.dtype), wbuf[cur]
+        )
+        return last_gr, word, scnt + 1
+
+    last_gr, word, _ = jax.lax.fori_loop(
+        0, c1, body, (jnp.int32(-1), jnp.int32(-1), jnp.int32(0))
+    )
+
+    @pl.when(word >= 0)
+    def _():  # close the final window
+        cur = word % 4
+        wps_wait(cur)
+        win_write(last_gr, cur).start()
+        wps[cur, 0] = 1
+        wps[cur, 1] = last_gr
+
+    for s in range(4):
+        wps_wait(s)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_perm_stage(n: int, wfull: int, w: int, npad: int,
+                      dtype_name: str, interpret: bool = False):
+    dt = jnp.dtype(dtype_name)
+    g = _granule(dt)
+    kernel = functools.partial(_perm_stage_kernel, g=g, w=w)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,  # src, slot, nxw, cmeta
+            grid=(),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # a (n, wfull), read-only
+                pl.BlockSpec(memory_space=pl.ANY),  # stg (npad, 1, w)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),  # stg (aliased)
+            scratch_shapes=[
+                pltpu.VMEM((2, g, w), dt),       # window tiles
+                pltpu.VMEM((4, 1, w), jnp.float32),  # outgoing row ring
+                pltpu.SMEM((4, 1), jnp.int32),   # pending slot per vbuf entry
+                pltpu.SemaphoreType.DMA((8,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((npad, 1, w), jnp.float32),
+        input_output_aliases={5: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(
+                2 * g * w * dt.itemsize + 8 * w * 4 + (24 << 20), 120 << 20
+            )),
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _build_perm_overlay(n: int, wfull: int, w: int, npad: int,
+                        dtype_name: str, interpret: bool = False):
+    dt = jnp.dtype(dtype_name)
+    g = _granule(dt)
+    kernel = functools.partial(_perm_overlay_kernel, g=g, w=w)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # dst, nxw, cmeta
+            grid=(),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # stg (npad, 1, w)
+                pl.BlockSpec(memory_space=pl.ANY),  # a (n, wfull)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),  # a (aliased)
+            scratch_shapes=[
+                pltpu.VMEM((4, g, w), dt),           # window ring
+                pltpu.VMEM((2, 8, 1, w), jnp.float32),  # staged batches
+                pltpu.SMEM((4, 2), jnp.int32),       # pending (flag, win)
+                pltpu.SemaphoreType.DMA((16,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, wfull), dt),
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(
+                4 * g * w * dt.itemsize + 24 * w * 4 + (24 << 20), 120 << 20
+            )),
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )
+
+
+def permute_rows_window(a, rel, cs: int, q: int, interpret=False):
+    """In-place row repermutation of the column segment [cs, cs+q):
+    ``a'[i, cs:cs+q] = a[rel[i], cs:cs+q]`` for a permutation ``rel`` with
+    ``rel[i] == i`` on rows that do not move.
+
+    The lazy-left-swap fixup (round 4): a sealed column segment misses the
+    row exchanges of every later block column; their composition is applied
+    here in one staged two-phase pass — phase A streams the moved SOURCE
+    windows once (sorted) extracting each moved row to an fp32 staging
+    buffer at its destination rank; phase B streams the moved DEST windows
+    once (ascending) overlaying from the staged stream.  Work scales with
+    rows that actually move (zero on diagonally dominant inputs); chunked
+    at ``_PERM_CHUNK`` moved rows per kernel launch for the scalar-prefetch
+    SMEM bound, phase A of every chunk completing before any overlay (a
+    moved source must never read an already-overlaid row).
+    """
+    n, wfull = a.shape
+    g = _granule(a.dtype)
+    i = jnp.arange(n, dtype=jnp.int32)
+    rel = rel.astype(jnp.int32)
+    moved = rel != i
+    n1 = moved.sum().astype(jnp.int32)
+    big = jnp.int32(2 * n + 2)
+
+    C = _PERM_CHUNK
+    nchunks = -(-n // C)
+    npad = nchunks * C
+
+    # phase-B schedule: moved dests ascending (stable sort on i)
+    keyb = jnp.where(moved, i, big)
+    ob = jnp.argsort(keyb, stable=True)
+    act = i < n1
+    dst = jnp.where(act, keyb[ob], jnp.int32(0))
+    # phase-A schedule: moved entries sorted by source window
+    keya = jnp.where(moved, (rel // g), big)
+    oa = jnp.argsort(keya, stable=True)
+    src = jnp.where(act, jnp.take(rel, oa), jnp.int32(0))
+    movedrank = jnp.cumsum(moved.astype(jnp.int32)) - 1
+    slot = jnp.where(act, jnp.take(movedrank, oa), jnp.int32(0))
+
+    if npad > n:
+        pad = ((0, npad - n),)
+        dst = jnp.pad(dst, pad)
+        src = jnp.pad(src, pad)
+        slot = jnp.pad(slot, pad)
+
+    stage = _build_perm_stage(n, wfull, q, npad, a.dtype.name, interpret)
+    overlay = _build_perm_overlay(n, wfull, q, npad, a.dtype.name, interpret)
+    ipos = jnp.arange(C, dtype=jnp.int32)
+    cs_i = jnp.int32(cs)
+
+    def do(a):
+        stg0 = jnp.zeros((npad, 1, q), jnp.float32)
+
+        def stage_body(c, stg):
+            c1 = jnp.clip(n1 - c * C, 0, C)
+            sc = jax.lax.dynamic_slice(src, (c * C,), (C,))
+            sl = jax.lax.dynamic_slice(slot, (c * C,), (C,))
+            wid = jnp.where(ipos < c1, sc // g, jnp.int32(-2))
+            nxw = _next_distinct(wid)
+            cmeta = jnp.stack([cs_i, c1]).astype(jnp.int32)
+            return stage(sc, sl, nxw, cmeta, a, stg)
+
+        stg = jax.lax.fori_loop(0, nchunks, stage_body, stg0)
+
+        def overlay_body(c, a):
+            c1 = jnp.clip(n1 - c * C, 0, C)
+            db = jax.lax.dynamic_slice(dst, (c * C,), (C,))
+            wid = jnp.where(ipos < c1, db // g, jnp.int32(-2))
+            nxw = _next_distinct(wid)
+            cmeta = jnp.stack([cs_i, c1, c * C]).astype(jnp.int32)
+            return overlay(db, nxw, cmeta, stg, a)
+
+        return jax.lax.fori_loop(0, nchunks, overlay_body, a)
+
+    # skip everything when no row moved (diagonally dominant inputs)
+    return jax.lax.cond(n1 > 0, do, lambda a: a, a)
