@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import mpf_tpu
+from mpf_tpu import config
 from mpf_tpu.precision import ALL_BF16, MPF_BF16
 from mpf_tpu.utils import matgen
 from mpf_tpu.utils.timing import time_fn, tflops
@@ -197,6 +198,8 @@ def main():
         "oracle_nbe_n2048": rep.normwise_backward_err,
         "oracle_ok": rep.ok,
         "ir_backward_error_3sweeps": ir_be,
+        "lazy_exchange": {"headline": config.lazy_exchange(n),
+                          "northstar": config.lazy_exchange(ns_n or 0)},
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }

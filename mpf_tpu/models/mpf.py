@@ -579,7 +579,7 @@ def mpf_factorize_traced(
     # takes the fused path (the masked fallback's LASWP is full-width).
     lazy = (
         pivot
-        and config.lazy_exchange()
+        and config.lazy_exchange(n)
         and config.combined_exchange()
         and not config.ablate("exchange")
         and config.use_pallas()
@@ -739,6 +739,12 @@ def mpf_factorize_traced(
 
     if lazy and snaps:
         on_tpu = config.use_pallas() and jax.default_backend() == "tpu"
+        stg = None
+        if on_tpu:
+            from mpf_tpu.ops.exchange import _PERM_CHUNK, permute_rows_window
+
+            npad = -(-n // _PERM_CHUNK) * _PERM_CHUNK
+            stg = jnp.zeros((npad, 1, qw), jnp.float32)  # shared staging
         for j, snap in enumerate(snaps):
             # remaining permutation for segment j: phys[i] = orig[snap[i]],
             # true[i] = orig[perm_total[i]]  =>  true = phys[rel] with
@@ -746,9 +752,7 @@ def mpf_factorize_traced(
             inv = jnp.zeros((n,), jnp.int32).at[snap].set(_iota(n))
             rel = jnp.take(inv, perm_total)
             if on_tpu:
-                from mpf_tpu.ops.exchange import permute_rows_window
-
-                a = permute_rows_window(a, rel, j * qw, qw)
+                a, stg = permute_rows_window(a, rel, j * qw, qw, stg=stg)
             else:
                 seg = jax.lax.dynamic_slice(a, (0, j * qw), (n, qw))
                 a = jax.lax.dynamic_update_slice(

@@ -762,7 +762,7 @@ def _build_perm_overlay(n: int, wfull: int, w: int, npad: int,
     )
 
 
-def permute_rows_window(a, rel, cs: int, q: int, interpret=False):
+def permute_rows_window(a, rel, cs: int, q: int, stg=None, interpret=False):
     """In-place row repermutation of the column segment [cs, cs+q):
     ``a'[i, cs:cs+q] = a[rel[i], cs:cs+q]`` for a permutation ``rel`` with
     ``rel[i] == i`` on rows that do not move.
@@ -777,6 +777,11 @@ def permute_rows_window(a, rel, cs: int, q: int, interpret=False):
     at ``_PERM_CHUNK`` moved rows per kernel launch for the scalar-prefetch
     SMEM bound, phase A of every chunk completing before any overlay (a
     moved source must never read an already-overlaid row).
+
+    ``stg``: optional (ceil(n/chunk)*chunk, 1, q) fp32 staging buffer to
+    reuse across calls (the driver threads ONE through all segments —
+    zero-initializing a fresh multi-GB buffer per segment is a full HBM
+    write pass each).  Returns ``(a', stg')`` when given, else ``a'``.
     """
     n, wfull = a.shape
     g = _granule(a.dtype)
@@ -784,37 +789,44 @@ def permute_rows_window(a, rel, cs: int, q: int, interpret=False):
     rel = rel.astype(jnp.int32)
     moved = rel != i
     n1 = moved.sum().astype(jnp.int32)
-    big = jnp.int32(2 * n + 2)
 
     C = _PERM_CHUNK
     nchunks = -(-n // C)
     npad = nchunks * C
 
-    # phase-B schedule: moved dests ascending (stable sort on i)
-    keyb = jnp.where(moved, i, big)
-    ob = jnp.argsort(keyb, stable=True)
-    act = i < n1
-    dst = jnp.where(act, keyb[ob], jnp.int32(0))
-    # phase-A schedule: moved entries sorted by source window
-    keya = jnp.where(moved, (rel // g), big)
-    oa = jnp.argsort(keya, stable=True)
-    src = jnp.where(act, jnp.take(rel, oa), jnp.int32(0))
+    # SORT-FREE schedules (the first cut ran two (n,) argsorts per segment —
+    # ~the whole exchange saving at n=32768).  Key fact: ``rel`` is identity
+    # off the moved set, so the moved SOURCE set == the moved DEST set; the
+    # ascending moved-row compaction therefore serves BOTH phases:
+    #   dst[e]  = e-th moved row ascending       (phase-B dest order)
+    #   src[e]  = dst[e]                         (ascending == window-grouped)
+    #   slot[e] = dest rank of the row RECEIVING source dst[e]
+    #           = movedrank[relinv[dst[e]]]
+    # One cumsum + two bounded scatters + two takes — no sorts.
     movedrank = jnp.cumsum(moved.astype(jnp.int32)) - 1
-    slot = jnp.where(act, jnp.take(movedrank, oa), jnp.int32(0))
-
-    if npad > n:
-        pad = ((0, npad - n),)
-        dst = jnp.pad(dst, pad)
-        src = jnp.pad(src, pad)
-        slot = jnp.pad(slot, pad)
+    dst = jnp.zeros((npad,), jnp.int32).at[
+        jnp.where(moved, movedrank, npad)  # unmoved -> OOB, dropped
+    ].set(i, mode="drop")
+    relinv = jnp.zeros((n,), jnp.int32).at[rel].set(i)
+    src = dst
+    slot = jnp.where(
+        jnp.arange(npad) < n1,
+        jnp.take(movedrank, jnp.take(relinv, dst)),
+        0,
+    )
 
     stage = _build_perm_stage(n, wfull, q, npad, a.dtype.name, interpret)
     overlay = _build_perm_overlay(n, wfull, q, npad, a.dtype.name, interpret)
     ipos = jnp.arange(C, dtype=jnp.int32)
     cs_i = jnp.int32(cs)
 
-    def do(a):
-        stg0 = jnp.zeros((npad, 1, q), jnp.float32)
+    ret_stg = stg is not None
+    if stg is None:
+        stg = jnp.zeros((npad, 1, q), jnp.float32)
+    assert stg.shape == (npad, 1, q) and stg.dtype == jnp.float32, stg
+
+    def do(ops):
+        a, stg0 = ops
 
         def stage_body(c, stg):
             c1 = jnp.clip(n1 - c * C, 0, C)
@@ -835,7 +847,8 @@ def permute_rows_window(a, rel, cs: int, q: int, interpret=False):
             cmeta = jnp.stack([cs_i, c1, c * C]).astype(jnp.int32)
             return overlay(db, nxw, cmeta, stg, a)
 
-        return jax.lax.fori_loop(0, nchunks, overlay_body, a)
+        return jax.lax.fori_loop(0, nchunks, overlay_body, a), stg
 
     # skip everything when no row moved (diagonally dominant inputs)
-    return jax.lax.cond(n1 > 0, do, lambda a: a, a)
+    a, stg = jax.lax.cond(n1 > 0, do, lambda ops: ops, (a, stg))
+    return (a, stg) if ret_stg else a
