@@ -46,7 +46,7 @@ def combined_exchange() -> bool:
     return os.environ.get("MPF_XCHG", "combined") != "split"
 
 
-def lazy_exchange(n: int | None = None) -> bool:
+def lazy_exchange() -> bool:
     """``MPF_LAZY``: lazy left swaps (ScaLAPACK's deferred-left-swap
     option).  Each fused block column's physical row exchange covers only
     the column suffix right of the current width quantum; the skipped

@@ -579,7 +579,7 @@ def mpf_factorize_traced(
     # takes the fused path (the masked fallback's LASWP is full-width).
     lazy = (
         pivot
-        and config.lazy_exchange(n)
+        and config.lazy_exchange()
         and config.combined_exchange()
         and not config.ablate("exchange")
         and config.use_pallas()

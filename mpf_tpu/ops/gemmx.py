@@ -1,0 +1,637 @@
+"""Manual-DMA trailing GEMM with fused row-exchange side work (round 4).
+
+``gemm_trailing`` computes, in place on the full (n, n) working matrix,
+
+    a[r0:r0+m, c0:c0+w] -= l21 @ u12        (fp32 MXU accumulation)
+
+like :func:`mpf_tpu.ops.panel_fused.trailing_gemm_sub` (the reference's
+cublasDgemm, `MPF.cu:230-239`), but with the tile pipeline hand-rolled
+(grid=(), ``fori`` over tiles, manual async copies) instead of Pallas
+auto-blocking — so that OTHER HBM traffic can be threaded between the MXU
+tiles.  Motivation (round-3 ablations): the trailing GEMM is MXU-bound
+(within 2% of the 194 TF/s floor at n=65536 bf16) leaving roughly half the
+HBM bandwidth idle, while the physical row exchange after each block column
+is pure HBM/latency traffic (603 ms of the 1931 ms n=65536 uniform-corpus
+run).  Threading the exchange's window DMAs through the GEMM's tile loop
+makes them ride the idle bandwidth instead of serializing after it.
+
+GEMM tile schedule: row strips of ``ti`` = 2048 (1024 when m is an odd
+multiple of 1024) with the L21 strip cached across the row (two slots),
+t=1024 column tiles with a22 + u12 in 4-slot rings — reads issued two steps
+ahead, writes lagging two steps.  U12 re-fetch traffic is (m/ti)*kk*w bytes;
+at ti=2048 that is 2x the auto-kernel's 4096-row core, paid from idle
+bandwidth, not wall-clock.
+
+Fused exchange = the combined one-sweep kernel of `ops/exchange.py`
+(LAPACK LASWP semantics in one composed row map, `MPF.cu:42-59`), driven
+incrementally: a few schedule entries are consumed after each GEMM tile,
+each entry gated on the completion (write-back landed) of the GEMM row
+strip its granule window overlaps — entries below ``r0`` (already-factored
+rows) are free immediately.  This is what lets the driver run block column
+k+1's row exchange *inside* block column k's trailing GEMM (lookahead):
+the exchange of rows in strip s only needs strip s's GEMM results, not the
+whole update.  Windows use an 8-slot ring with a 3-deep read-ahead chain
+(``nxw1..3`` schedule columns) so the scalar core never stalls on a window
+read between MXU tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mpf_tpu.ops.panel_fused import _granule
+
+_NWIN = 8   # exchange window ring slots (read-ahead 3 + write-behind)
+_XAHEAD = 3  # window read-ahead depth
+
+
+def _gemmx_kernel(
+    meta_ref, r1_ref, pay1_ref, t1_ref, nxt1_ref, nxt1b_ref,
+    row2_ref, pay2_ref, t2_ref, nxw1_ref, nxw2_ref, nxw3_ref,
+    l_ref, u_ref, a_in_ref, a_ref, piv_ref, stg_ref,
+    lbuf, ubuf, abuf, xwin, xband, xvbuf, xstile, pend, wps, sems, xsems,
+    *, ti: int, t: int, kk: int, ni: int, nj: int, r0: int, c0: int,
+    g: int, ws: int, xw: int, nr: int, hi, fuse_x: bool,
+):
+    """meta (scalar prefetch): [kb, n1, n2, nd] — exchange band offset and
+    active entry counts (schedule layout as in `exchange.rows_exchange`,
+    plus the deeper next-window chains).  All-zero => no exchange work."""
+    f32 = jnp.float32
+    nsteps = ni * nj
+    dt = a_ref.dtype
+
+    # ---------------- GEMM tile DMAs ----------------------------------------
+    def l_read(i, slot):
+        return pltpu.make_async_copy(
+            l_ref.at[pl.ds(pl.multiple_of(i * ti, min(ti, 1024)), ti), :],
+            lbuf.at[slot], sems.at[8 + slot],
+        )
+
+    def u_read(j, slot):
+        return pltpu.make_async_copy(
+            u_ref.at[:, pl.ds(pl.multiple_of(j * t, t), t)],
+            ubuf.at[slot], sems.at[slot],
+        )
+
+    def a_tile(i, j):
+        return a_ref.at[
+            pl.ds(pl.multiple_of(r0 + i * ti, min(ti, 1024)), ti),
+            pl.ds(pl.multiple_of(c0 + j * t, t), t),
+        ]
+
+    def a_read(i, j, slot):
+        return pltpu.make_async_copy(a_tile(i, j), abuf.at[slot],
+                                      sems.at[4 + slot])
+
+    def a_write(i, j, slot):
+        return pltpu.make_async_copy(abuf.at[slot], a_tile(i, j),
+                                      sems.at[10 + slot])
+
+    # ---------------- fused-exchange machinery (columns [ws, ws+xw)) --------
+    if fuse_x:
+        ci = pl.ds(ws, xw)
+        grows = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+        srows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
+        kb = meta_ref[0]
+        n1 = meta_ref[1]
+        n2 = meta_ref[2]
+        nd = meta_ref[3]
+
+        def row_write_start(slot, kind, pos):
+            @pl.when(kind == 0)
+            def _():
+                pltpu.make_async_copy(
+                    xvbuf.at[slot], piv_ref.at[pos], xsems.at[slot]
+                ).start()
+
+            @pl.when(kind == 1)
+            def _():
+                pltpu.make_async_copy(
+                    xvbuf.at[slot], stg_ref.at[pos], xsems.at[slot]
+                ).start()
+
+        def row_write_wait(slot):
+            kind = pend[slot, 0]
+            pos = pend[slot, 1]
+
+            @pl.when(kind == 0)
+            def _():
+                pltpu.make_async_copy(
+                    xvbuf.at[slot], piv_ref.at[pos], xsems.at[slot]
+                ).wait()
+
+            @pl.when(kind == 1)
+            def _():
+                pltpu.make_async_copy(
+                    xvbuf.at[slot], stg_ref.at[pos], xsems.at[slot]
+                ).wait()
+
+        def emit_row(wcnt, val, kind, pos):
+            slot = wcnt % 4
+
+            @pl.when(wcnt >= 4)
+            def _():
+                row_write_wait(slot)
+
+            xvbuf[slot] = val.astype(xvbuf.dtype)
+            row_write_start(slot, kind, pos)
+            pend[slot, 0] = kind
+            pend[slot, 1] = pos
+            return wcnt + 1
+
+        def btile_read(tt, slot):
+            return pltpu.make_async_copy(
+                a_ref.at[pl.ds(pl.multiple_of(kb + tt * g, g), g), ci],
+                xband.at[slot], xsems.at[12 + slot],
+            )
+
+        def win_read(gr, slot):
+            return pltpu.make_async_copy(
+                a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), ci],
+                xwin.at[slot], xsems.at[4 + slot],
+            )
+
+        def win_write(gr, slot):
+            return pltpu.make_async_copy(
+                xwin.at[slot],
+                a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), ci],
+                xsems.at[4 + _NWIN + slot],
+            )
+
+        def wps_wait(slot):
+            @pl.when(wps[slot, 0] == 1)
+            def _():
+                win_write(wps[slot, 1], slot).wait()
+                wps[slot, 0] = 0
+
+        def stile_read(tt, slot):
+            return pltpu.make_async_copy(
+                stg_ref.at[pl.ds(pl.multiple_of(tt * 8, 8), 8)],
+                xstile.at[slot], xsems.at[2 + slot],
+            )
+
+        # --- phase 1 (band stream): carry (last_tile, tord, wcnt) -----------
+        def p1_body(e, carry):
+            last_tile, tord, wcnt = carry
+            rowp = r1_ref[e]
+            tile = rowp // g
+            tswitch = tile != last_tile
+            tord = tord + tswitch.astype(jnp.int32)
+            tsl = tord % 4
+
+            @pl.when(tswitch)
+            def _():
+                @pl.when(tord == 0)
+                def _():  # first tile: read it and its successor now
+                    btile_read(tile, tsl).start()
+                    nt0 = nxt1_ref[e]
+
+                    @pl.when(nt0 >= 0)
+                    def _():
+                        btile_read(nt0, (tord + 1) % 4).start()
+
+                btile_read(tile, tsl).wait()
+                nt = nxt1b_ref[e]
+
+                @pl.when(nt >= 0)
+                def _():  # keep two tiles of read-ahead
+                    btile_read(nt, (tord + 2) % 4).start()
+
+            val = jnp.sum(
+                jnp.where(grows == rowp % g, xband[tsl].astype(f32), 0.0),
+                axis=0, keepdims=True,
+            )
+            wcnt = emit_row(wcnt, val, t1_ref[e], pay1_ref[e])
+            return tile, tord, wcnt
+
+        # --- phase 2 (window sweep): carry (last_gr, word, dirty, scnt,
+        # wcnt) ---------------------------------------------------------------
+        def p2_body(e, carry):
+            last_gr, word, dirty, scnt, wcnt = carry
+            grow = row2_ref[e]
+            typ = t2_ref[e]
+            gr = grow // g
+            switch = (gr != last_gr) | (word < 0)
+            word = word + switch.astype(jnp.int32)
+            cur = word % _NWIN
+
+            @pl.when(switch)
+            def _():
+                wps_wait(cur)  # ordinal word-_NWIN's write must have landed
+
+                @pl.when(word == 0)
+                def _():  # prime the read-ahead chain
+                    win_read(gr, cur).start()
+                    for d, nxd in ((1, nxw1_ref), (2, nxw2_ref)):
+                        nw0 = nxd[e]
+
+                        @pl.when(nw0 >= 0)
+                        def _():
+                            sl = (word + d) % _NWIN
+                            wps_wait(sl)
+                            win_read(nw0, sl).start()
+
+                win_read(gr, cur).wait()
+                prev = (word + _NWIN - 1) % _NWIN
+
+                @pl.when((word > 0) & (dirty == 1))
+                def _():  # close the previous window (write-behind)
+                    wps_wait(prev)
+                    win_write(last_gr, prev).start()
+                    wps[prev, 0] = 1
+                    wps[prev, 1] = last_gr
+
+                nw = nxw3_ref[e]
+
+                @pl.when(nw >= 0)
+                def _():  # extend the read-ahead chain to depth 3
+                    nslot = (word + _XAHEAD) % _NWIN
+                    wps_wait(nslot)
+                    win_read(nw, nslot).start()
+
+            dirty = jnp.where(switch, jnp.int32(0), dirty)
+            last_gr = jnp.where(switch, gr, last_gr)
+
+            @pl.when(typ == 0)
+            def _():  # source extract (always before overlays in-window)
+                val = jnp.sum(
+                    jnp.where(grows == grow % g, xwin[cur].astype(f32), 0.0),
+                    axis=0, keepdims=True,
+                )
+                slot = wcnt % 4
+
+                @pl.when(wcnt >= 4)
+                def _():
+                    row_write_wait(slot)
+
+                xvbuf[slot] = val.astype(xvbuf.dtype)
+                row_write_start(slot, jnp.int32(0), pay2_ref[e])
+                pend[slot, 0] = 0
+                pend[slot, 1] = pay2_ref[e]
+
+            wcnt = wcnt + (typ == 0).astype(jnp.int32)
+
+            @pl.when(typ == 1)
+            def _():  # dest overlay from the staged stream
+                t8 = scnt // 8
+                sl8 = t8 % 2
+
+                @pl.when(scnt % 8 == 0)
+                def _():
+                    @pl.when(scnt == 0)
+                    def _():
+                        stile_read(0, 0).start()
+
+                    stile_read(t8, sl8).wait()
+
+                    @pl.when((t8 + 1) * 8 < nd)
+                    def _():
+                        stile_read(t8 + 1, 1 - sl8).start()
+
+                v = jnp.sum(
+                    jnp.where(srows8 == scnt % 8, xstile[sl8].astype(f32), 0.0),
+                    axis=0,
+                )
+                xwin[cur] = jnp.where(
+                    grows == grow % g, v.astype(xwin.dtype), xwin[cur]
+                )
+
+            dirty = jnp.where(typ == 1, jnp.int32(1), dirty)
+            scnt = scnt + (typ == 1).astype(jnp.int32)
+            return last_gr, word, dirty, scnt, wcnt
+
+        def drain_p1_ring(t1c):
+            for sl in range(4):
+                @pl.when(sl < t1c)
+                def _():
+                    row_write_wait(sl)
+
+        def x_gate(row, s):
+            """True once the GEMM strip containing ``row`` is complete AND
+            its tile writes have landed (writes lag two steps; entries run
+            at the end of a step).  Rows above r0 are immediately free."""
+            si = jnp.where(row >= r0, (row - r0) // ti, jnp.int32(-1))
+            return s >= jnp.where(si < 0, jnp.int32(0), (si + 1) * nj + 2)
+
+        # per-step entry budget: enough to drain 2*nr entries over the steps
+        # with slack; tiny for big GEMMs (the common case)
+        quota = max(2, (2 * max(nr, 1)) // max(nsteps, 1) + 2)
+
+    # ---------------- main loop ----------------------------------------------
+    l_read(0, 0).start()
+    for s0 in range(min(2, nsteps)):
+        a_read(s0 // nj, s0 % nj, s0 % 4).start()
+        u_read(s0 % nj, s0 % 4).start()
+
+    def step(s, carry):
+        (e1, t1a, t1b, t1c, drained, e2, c2a, c2b, c2c, c2d, c2e) = carry
+        i = s // nj
+        j = s % nj
+        slot = s % 4
+
+        @pl.when(j == 0)
+        def _():
+            l_read(i, i % 2).wait()
+
+            @pl.when(i + 1 < ni)
+            def _():
+                l_read(i + 1, (i + 1) % 2).start()
+
+        a_read(i, j, slot).wait()
+        u_read(j, slot).wait()
+        upd = jax.lax.dot_general(
+            lbuf[i % 2], ubuf[slot], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=hi,
+        )
+        abuf[slot] = (abuf[slot].astype(f32) - upd).astype(dt)
+        a_write(i, j, slot).start()
+
+        @pl.when(s + 2 < nsteps)
+        def _():
+            s2 = s + 2
+            slot2 = s2 % 4
+
+            @pl.when(s >= 2)
+            def _():
+                a_write((s - 2) // nj, (s - 2) % nj, slot2).wait()
+
+            a_read(s2 // nj, s2 % nj, slot2).start()
+            u_read(s2 % nj, slot2).start()
+
+        if not fuse_x:
+            return carry
+
+        # ---- exchange pacing: advance each phase through its (gate-
+        # monotone) schedule under the per-step budget --------------------
+        def p1_step(_, c):
+            t1a_, t1b_, t1c_, e1_ = c
+            e = e1_
+            ok = (e1_ < n1) & x_gate(kb + r1_ref[jnp.minimum(e, 2 * nr - 1)], s)
+
+            def run(cc):
+                a_, b_, c_ = p1_body(e, (cc[0], cc[1], cc[2]))
+                return a_, b_, c_, cc[3] + 1
+
+            return jax.lax.cond(ok, run, lambda cc: cc,
+                                (t1a_, t1b_, t1c_, e1_))
+
+        t1a, t1b, t1c, e1 = jax.lax.fori_loop(
+            0, quota, p1_step, (t1a, t1b, t1c, e1)
+        )
+
+        # phase 1 fully emitted => drain its row ring ONCE (phase 2 reads
+        # the staged rows phase 1 wrote)
+        @pl.when((e1 >= n1) & (drained == 0))
+        def _():
+            drain_p1_ring(t1c)
+
+        drained = jnp.where(e1 >= n1, jnp.int32(1), drained)
+
+        def p2_step(_, c):
+            a_, b_, c_, d_, ee_, e2_ = c
+            e = e2_
+            ok = (
+                (drained == 1) & (e2_ < n2)
+                & x_gate(row2_ref[jnp.minimum(e, 2 * nr - 1)], s)
+            )
+
+            def run(cc):
+                r = p2_body(e, (cc[0], cc[1], cc[2], cc[3], cc[4]))
+                return r + (cc[5] + 1,)
+
+            return jax.lax.cond(ok, run, lambda cc: cc,
+                                (a_, b_, c_, d_, ee_, e2_))
+
+        c2a, c2b, c2c, c2d, c2e, e2 = jax.lax.fori_loop(
+            0, quota, p2_step, (c2a, c2b, c2c, c2d, c2e, e2)
+        )
+        return (e1, t1a, t1b, t1c, drained, e2, c2a, c2b, c2c, c2d, c2e)
+
+    if fuse_x:
+        for sl in range(_NWIN):
+            wps[sl, 0] = 0
+    carry0 = (
+        jnp.int32(0), jnp.int32(-1), jnp.int32(-1), jnp.int32(0),
+        jnp.int32(0),
+        jnp.int32(0), jnp.int32(-1), jnp.int32(-1), jnp.int32(0),
+        jnp.int32(0), jnp.int32(0),
+    )
+    carry = jax.lax.fori_loop(0, nsteps, step, carry0)
+
+    # epilogue: flush the last GEMM tile writes ...
+    for back in range(min(4, nsteps)):
+        s = nsteps - 1 - back
+        a_write(s // nj, s % nj, s % 4).wait()
+
+    if fuse_x:
+        # ... then drain the remaining exchange entries (every gate is now
+        # satisfied: all strips complete, all writes landed)
+        (e1, t1a, t1b, t1c, drained, e2, c2a, c2b, c2c, c2d, c2e) = carry
+        t1a, t1b, t1c = jax.lax.fori_loop(
+            e1, n1, p1_body, (t1a, t1b, t1c)
+        )
+
+        @pl.when(drained == 0)
+        def _():
+            drain_p1_ring(t1c)
+
+        last_gr, word, dirty, scnt, wcnt2 = jax.lax.fori_loop(
+            e2, n2, p2_body, (c2a, c2b, c2c, c2d, c2e)
+        )
+
+        @pl.when((word >= 0) & (dirty == 1))
+        def _():  # close the final window
+            cur = word % _NWIN
+            wps_wait(cur)
+            win_write(last_gr, cur).start()
+            wps[cur, 0] = 1
+            wps[cur, 1] = last_gr
+
+        for sl in range(_NWIN):
+            wps_wait(sl)
+        for sl in range(4):  # phase-2 row ring (phase 1's already drained)
+            @pl.when(sl < wcnt2)
+            def _():
+                row_write_wait(sl)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_gemmx(n: int, r0: int, c0: int, m: int, w: int, kk: int,
+                 ws: int, nr: int, dtype_name: str, gd_name: str,
+                 interpret: bool = False):
+    dt = jnp.dtype(dtype_name)
+    gd = jnp.dtype(gd_name)
+    g = _granule(dt)
+    ti = 2048 if m % 2048 == 0 else 1024
+    t = 1024
+    assert m % ti == 0 and w % t == 0 and r0 % g == 0 and c0 % t == 0, (
+        n, r0, c0, m, w, ti)
+    ni, nj = m // ti, w // t
+    fuse_x = nr > 0
+    xw = n - ws if fuse_x else 128
+    nr8 = -(-max(nr, 8) // 8) * 8
+    sdt = jnp.dtype(jnp.float32)  # single-row staging is always fp32
+    hi = jax.lax.Precision.HIGHEST if gd == jnp.float32 else None
+    kernel = functools.partial(
+        _gemmx_kernel, ti=ti, t=t, kk=kk, ni=ni, nj=nj, r0=r0, c0=c0,
+        g=g, ws=ws, xw=xw, nr=nr, hi=hi, fuse_x=fuse_x,
+    )
+    vmem = (
+        2 * ti * kk * gd.itemsize          # lbuf
+        + 4 * kk * t * gd.itemsize         # ubuf
+        + 4 * ti * t * dt.itemsize         # abuf
+        + 2 * ti * t * 4                   # f32 dot/subtract temporaries
+        + (_NWIN * g * xw + 2 * 4 * g * xw) * dt.itemsize  # xwin + xband
+        + (4 + 16) * xw * 4                # xvbuf + xstile
+        + (24 << 20)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            # kmeta, r1, pay1, t1, nxt1, nxt1b, row2, pay2, t2, nxw1..3
+            num_scalar_prefetch=12,
+            grid=(),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),   # l21 (m, kk)
+                pl.BlockSpec(memory_space=pl.ANY),   # u12 (kk, w)
+                pl.BlockSpec(memory_space=pl.ANY),   # a (n, n)
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),   # a (aliased)
+                pl.BlockSpec(memory_space=pl.ANY),   # pivrows
+                pl.BlockSpec(memory_space=pl.ANY),   # staged
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, ti, kk), gd),          # lbuf
+                pltpu.VMEM((4, kk, t), gd),           # ubuf
+                pltpu.VMEM((4, ti, t), dt),           # abuf
+                pltpu.VMEM((_NWIN, g, xw), dt),       # exchange window ring
+                pltpu.VMEM((4, g, xw), dt),           # band tile ring
+                pltpu.VMEM((4, 1, xw), sdt),          # outgoing row ring
+                pltpu.VMEM((2, 8, 1, xw), sdt),       # staged batches
+                pltpu.SMEM((4, 2), jnp.int32),        # pend (kind,pos)/vbuf
+                pltpu.SMEM((_NWIN, 2), jnp.int32),    # wps (flag,win)/slot
+                pltpu.SemaphoreType.DMA((14,)),       # GEMM sems
+                pltpu.SemaphoreType.DMA((4 + 2 * _NWIN,)),  # exchange sems
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, n), dt),
+            jax.ShapeDtypeStruct((nr8, 1, xw), sdt),
+            jax.ShapeDtypeStruct((nr8, 1, xw), sdt),
+        ),
+        input_output_aliases={14: 0},  # a, after 12 prefetch + l + u
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(min(vmem, 126 << 20)),
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )
+
+
+def _next_chain(wid, depth, m):
+    """Per entry, the values of the next 1..depth distinct ``wid`` segments
+    (-1 past the end).  ``wid`` segment-grouped with negative sentinels on
+    the inactive suffix."""
+    first = jnp.concatenate([jnp.ones((1,), bool), wid[1:] != wid[:-1]])
+    sid = jnp.cumsum(first.astype(jnp.int32)) - 1
+    swid = jnp.full((m + depth,), jnp.int32(-1)).at[sid].set(wid)
+    outs = []
+    for d in range(1, depth + 1):
+        nx = swid[jnp.minimum(sid + d, m + depth - 1)]
+        outs.append(jnp.where(nx < 0, jnp.int32(-1), nx))
+    return outs
+
+
+def exchange_schedules(n, k, glist, dests, g):
+    """Schedules for the combined one-sweep exchange (same construction as
+    `exchange.rows_exchange`, plus the depth-2/3 next-window chains the
+    fused kernel's deeper read-ahead uses).  Returns the 12 scalar-prefetch
+    arrays (kmeta first)."""
+    nr = int(glist.shape[0])
+    k = jnp.asarray(k, jnp.int32)
+    glist = glist.astype(jnp.int32)
+    dests = dests.astype(jnp.int32)
+    j = jnp.arange(nr, dtype=jnp.int32)
+
+    inband_s = (glist >= k) & (glist < k + nr)
+    act_d = (dests < k) | (dests >= k + nr)
+
+    big = jnp.int32(2 * n + 2)
+    key = jnp.concatenate([
+        jnp.where(~inband_s, (glist // g) * 2, big),
+        jnp.where(act_d, (dests // g) * 2 + 1, big),
+    ])
+    o2 = jnp.argsort(key, stable=True)
+    row2 = jnp.concatenate([glist, dests])[o2]
+    t2 = (o2 >= nr).astype(jnp.int32)
+    pay2 = jnp.concatenate([j, j])[o2]
+    n2 = ((~inband_s).sum() + act_d.sum()).astype(jnp.int32)
+
+    e2 = jnp.arange(2 * nr, dtype=jnp.int32)
+    drank = jnp.cumsum(t2).astype(jnp.int32) - 1
+    di = jnp.where((t2 == 1) & (e2 < n2), pay2, nr)
+    slot_by_i = (
+        jnp.zeros((nr + 1,), jnp.int32).at[di].set(drank, mode="drop")[:nr]
+    )
+
+    big1 = jnp.int32(nr + 1)
+    r1 = jnp.concatenate([
+        jnp.where(inband_s, glist - k, big1),
+        jnp.where(act_d, j, big1),
+    ])
+    o1 = jnp.argsort(r1, stable=True)
+    r1s = r1[o1]
+    t1 = jnp.concatenate(
+        [jnp.zeros((nr,), jnp.int32), jnp.ones((nr,), jnp.int32)]
+    )[o1]
+    pay1 = jnp.concatenate([j, slot_by_i])[o1]
+    n1 = (inband_s.sum() + act_d.sum()).astype(jnp.int32)
+
+    tile1 = jnp.where(e2 < n1, r1s // g, jnp.int32(-2))
+    nxt1, nxt1b = _next_chain(tile1, 2, 2 * nr)
+    wid2 = jnp.where(e2 < n2, row2 // g, jnp.int32(-2))
+    nxw1, nxw2, nxw3 = _next_chain(wid2, 3, 2 * nr)
+
+    kmeta = jnp.stack([k, n1, n2, act_d.sum()]).astype(jnp.int32)
+    return (kmeta, r1s, pay1, t1, nxt1, nxt1b, row2, pay2, t2,
+            nxw1, nxw2, nxw3)
+
+
+def gemm_trailing(a, l21, u12, r0, c0, ncols=None, xargs=None,
+                  interpret=False):
+    """In-place ``a[r0:r0+m, c0:c0+ncols] -= l21 @ u12`` with fp32 MXU
+    accumulation (manual tile pipeline; see module docstring).  ``r0``/
+    ``c0`` static, multiples of 1024.
+
+    ``xargs = (k, glist, dests, ws)`` fuses the combined one-sweep row
+    exchange over columns ``[ws, n)`` into the tile loop (entries gated on
+    GEMM strip completion): returns ``(a', pivrows)`` with ``pivrows[j] =
+    a_post_gemm[glist[j], ws:]`` and band rows scattered to out-of-band
+    ``dests`` — the caller finishes by writing ``pivrows`` over the band
+    (exchange.rows_exchange contract).  Without ``xargs`` returns ``a'``.
+    """
+    n = a.shape[0]
+    m, kk = l21.shape
+    w = ncols if ncols is not None else u12.shape[1]
+    assert u12.shape == (kk, w), (u12.shape, kk, w)
+    g = _granule(a.dtype)
+    if xargs is None:
+        nr, ws = 0, 0
+        dummy = jnp.zeros((1,), jnp.int32)
+        sched = (jnp.zeros((4,), jnp.int32),) + (dummy,) * 11
+    else:
+        k, glist, dests, ws = xargs
+        nr = int(glist.shape[0])
+        sched = exchange_schedules(n, k, glist, dests, g)
+    fn = _build_gemmx(n, int(r0), int(c0), m, w, kk, int(ws), nr,
+                      a.dtype.name, l21.dtype.name, interpret)
+    a2, piv3, _ = fn(*sched, l21, u12, a)
+    if xargs is None:
+        return a2
+    return a2, piv3[:nr].reshape(nr, n - int(ws)).astype(a.dtype)
