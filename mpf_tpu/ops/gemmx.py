@@ -147,7 +147,7 @@ def _gemmx_kernel(
         def btile_read(tt, slot):
             return pltpu.make_async_copy(
                 a_ref.at[pl.ds(pl.multiple_of(kb + tt * g, g), g), ci],
-                xband.at[slot], xsems.at[12 + slot],
+                xband.at[slot], xsems.at[4 + 2 * _NWIN + slot],
             )
 
         def win_read(gr, slot):
@@ -172,7 +172,7 @@ def _gemmx_kernel(
         def stile_read(tt, slot):
             return pltpu.make_async_copy(
                 stg_ref.at[pl.ds(pl.multiple_of(tt * 8, 8), 8)],
-                xstile.at[slot], xsems.at[2 + slot],
+                xstile.at[slot], xsems.at[8 + 2 * _NWIN + slot],
             )
 
         # --- phase 1 (band stream): carry (last_tile, tord, wcnt) -----------
@@ -318,6 +318,25 @@ def _gemmx_kernel(
             si = jnp.where(row >= r0, (row - r0) // ti, jnp.int32(-1))
             return s >= jnp.where(si < 0, jnp.int32(0), (si + 1) * nj + 2)
 
+        def p1_gate_row(e):
+            """Furthest row entry ``e``'s processing may TOUCH — its own
+            band tile plus the depth-2 tile read-ahead it can issue.  The
+            gate must cover the prefetches, not just the current row, or
+            the read-ahead streams pre-GEMM bytes from incomplete strips."""
+            tmax = jnp.maximum(
+                r1_ref[e] // g, jnp.maximum(nxt1_ref[e], nxt1b_ref[e])
+            )
+            return kb + tmax * g + (g - 1)
+
+        def p2_gate_row(e):
+            """Furthest row entry ``e`` may touch: its window plus the
+            depth-3 window read-ahead chain."""
+            wmax = jnp.maximum(
+                jnp.maximum(row2_ref[e] // g, nxw1_ref[e]),
+                jnp.maximum(nxw2_ref[e], nxw3_ref[e]),
+            )
+            return wmax * g + (g - 1)
+
         # per-step entry budget: enough to drain 2*nr entries over the steps
         # with slack; tiny for big GEMMs (the common case)
         quota = max(2, (2 * max(nr, 1)) // max(nsteps, 1) + 2)
@@ -371,7 +390,7 @@ def _gemmx_kernel(
         def p1_step(_, c):
             t1a_, t1b_, t1c_, e1_ = c
             e = e1_
-            ok = (e1_ < n1) & x_gate(kb + r1_ref[jnp.minimum(e, 2 * nr - 1)], s)
+            ok = (e1_ < n1) & x_gate(p1_gate_row(jnp.minimum(e, 2 * nr - 1)), s)
 
             def run(cc):
                 a_, b_, c_ = p1_body(e, (cc[0], cc[1], cc[2]))
@@ -397,7 +416,7 @@ def _gemmx_kernel(
             e = e2_
             ok = (
                 (drained == 1) & (e2_ < n2)
-                & x_gate(row2_ref[jnp.minimum(e, 2 * nr - 1)], s)
+                & x_gate(p2_gate_row(jnp.minimum(e, 2 * nr - 1)), s)
             )
 
             def run(cc):
@@ -460,17 +479,28 @@ def _gemmx_kernel(
                 row_write_wait(sl)
 
 
+def _auto_tiles(m: int, kk: int, gd) -> tuple[int, int]:
+    """(ti, t) defaults: 2048-row strips (1024 for odd-1024 m, and for
+    fp32 gd at kk >= 2048 where the VMEM rings would exceed the chip)."""
+    ti = 2048 if m % 2048 == 0 else 1024
+    if gd == jnp.dtype(jnp.float32) and kk >= 2048:
+        ti = 1024
+    return ti, 1024
+
+
 @functools.lru_cache(maxsize=256)
 def _build_gemmx(n: int, r0: int, c0: int, m: int, w: int, kk: int,
                  ws: int, nr: int, dtype_name: str, gd_name: str,
-                 interpret: bool = False):
+                 interpret: bool = False, ti: int | None = None,
+                 t: int | None = None):
     dt = jnp.dtype(dtype_name)
     gd = jnp.dtype(gd_name)
     g = _granule(dt)
-    ti = 2048 if m % 2048 == 0 else 1024
-    t = 1024
-    assert m % ti == 0 and w % t == 0 and r0 % g == 0 and c0 % t == 0, (
-        n, r0, c0, m, w, ti)
+    ti0, t0 = _auto_tiles(m, kk, gd)
+    ti = ti or ti0
+    t = t or t0
+    assert (m % ti == 0 and w % t == 0 and r0 % g == 0 and c0 % t == 0
+            and r0 % min(ti, 1024) == 0), (n, r0, c0, m, w, ti)
     ni, nj = m // ti, w // t
     fuse_x = nr > 0
     xw = n - ws if fuse_x else 128
@@ -517,7 +547,9 @@ def _build_gemmx(n: int, r0: int, c0: int, m: int, w: int, kk: int,
                 pltpu.SMEM((4, 2), jnp.int32),        # pend (kind,pos)/vbuf
                 pltpu.SMEM((_NWIN, 2), jnp.int32),    # wps (flag,win)/slot
                 pltpu.SemaphoreType.DMA((14,)),       # GEMM sems
-                pltpu.SemaphoreType.DMA((4 + 2 * _NWIN,)),  # exchange sems
+                # exchange sems: 0-3 row ring, 4-11 window reads, 12-19
+                # window writes, 20-23 band tiles, 24-25 staged batches
+                pltpu.SemaphoreType.DMA((10 + 2 * _NWIN,)),
             ],
         ),
         out_shape=(
@@ -604,7 +636,7 @@ def exchange_schedules(n, k, glist, dests, g):
 
 
 def gemm_trailing(a, l21, u12, r0, c0, ncols=None, xargs=None,
-                  interpret=False):
+                  interpret=False, ti=None, t=None):
     """In-place ``a[r0:r0+m, c0:c0+ncols] -= l21 @ u12`` with fp32 MXU
     accumulation (manual tile pipeline; see module docstring).  ``r0``/
     ``c0`` static, multiples of 1024.
@@ -630,7 +662,7 @@ def gemm_trailing(a, l21, u12, r0, c0, ncols=None, xargs=None,
         nr = int(glist.shape[0])
         sched = exchange_schedules(n, k, glist, dests, g)
     fn = _build_gemmx(n, int(r0), int(c0), m, w, kk, int(ws), nr,
-                      a.dtype.name, l21.dtype.name, interpret)
+                      a.dtype.name, l21.dtype.name, interpret, ti, t)
     a2, piv3, _ = fn(*sched, l21, u12, a)
     if xargs is None:
         return a2
