@@ -69,6 +69,43 @@ def lazy_exchange() -> bool:
     return False
 
 
+def lookahead() -> bool:
+    """``MPF_LOOKAHEAD``: one-deep pipelined block columns (round 4).  The
+    trailing GEMM of block column k is split narrow/wide; panel k+1 is
+    factored after the narrow part, and its physical row exchange rides
+    INSIDE the wide trailing GEMM (`ops/gemmx.py` — exchange window DMAs
+    threaded between the MXU tiles, entries gated on GEMM row-strip
+    completion).  Replaces the reference's strictly serial panel ->
+    LASWP -> TRSM -> GEMM order (`MPF.cu:100-240`).  Default ``auto`` =
+    off until the round-4 chip A/B lands; ``1`` enables, ``0`` disables."""
+    env = os.environ.get("MPF_LOOKAHEAD", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return False
+
+
+def force_kernels() -> bool:
+    """``MPF_FORCE_KERNELS=1``: drive the Pallas kernel paths through the
+    DRIVER on a non-TPU backend (kernels run in interpret mode).  CI hook
+    closing the round-3 gap where driver-level tests always took the jnp
+    fallback and the composed kernel paths were only covered by kernel unit
+    tests plus one-off chip runs."""
+    return os.environ.get("MPF_FORCE_KERNELS") == "1"
+
+
+def kernels_on() -> tuple[bool, bool]:
+    """(use kernel paths in the driver, interpret mode) — the driver-side
+    backend gate: real kernels on TPU, interpret-mode kernels under
+    MPF_FORCE_KERNELS, jnp fallbacks otherwise."""
+    if use_pallas() and jax.default_backend() == "tpu":
+        return True, False
+    if use_pallas() and force_kernels():
+        return True, True
+    return False, False
+
+
 def ablate(stage: str) -> bool:
     """Trace-time perf-attribution knob: ``MPF_ABLATE`` is a comma list of
     driver stages to skip (results become WRONG — measurement only).

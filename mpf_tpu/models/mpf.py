@@ -371,6 +371,41 @@ def _factor_block_column_fused(slab, diag0, r, policy):
     return slab, pos, olog_all, piv_all, u_all, info
 
 
+def _fused_panel_stage(a, k: int, bc: int, r, policy, ipiv, info):
+    """Virtual-pivoting panel work (A1+A2+B) of the fused path for block
+    column ``k``: factor the quantized tail slab, write it back, update
+    ``ipiv``/``info``.  Returns ``(a, ipiv, info, stage)`` with ``stage =
+    (k0, band_idx, glist, dests, u_all)`` — everything the physical row
+    exchange and the bookkeeping need.  Shared by the classic loop and the
+    one-deep-lookahead loop so their panel semantics cannot diverge."""
+    n = a.shape[0]
+    q = _pad_quantum(n)
+    m = min(n, -((k - n) // q) * q)
+    k0 = n - m  # rows above k0 can neither pivot nor update
+    sub = a[k0:, k : k + bc]
+    sub, pos_l, olog_l, piv_l, u_all, info_b = (
+        _factor_block_column_fused(sub, k - k0, r, policy)
+    )
+    if not config.ablate("slabio"):
+        a = a.at[k0:, k : k + bc].set(sub)
+    ipiv = ipiv.at[k : k + bc].set(k0 + piv_l + 1)
+    info = jnp.where((info == 0) & (info_b > 0), info_b + k, info)
+    band_idx = (k - k0) + _iota(bc)
+    dests = k0 + jnp.take(pos_l, band_idx)  # band rows' new positions
+    glist = k0 + olog_l  # pivot-row sources (original rows)
+    return a, ipiv, info, (k0, band_idx, glist, dests, u_all)
+
+
+def _compose_perm(perm_total, k: int, bc: int, stage):
+    """Compose one fused block column's row map into the running total —
+    only the band and the displaced destinations change."""
+    k0, band_idx, glist, dests, _ = stage
+    pt_old = perm_total
+    perm_total = perm_total.at[k + _iota(bc)].set(jnp.take(pt_old, glist))
+    perm_total = perm_total.at[dests].set(jnp.take(pt_old, k0 + band_idx))
+    return perm_total
+
+
 def _factor_block_column(slab, kk, r, policy, pivot, panel_kernel):
     """Partial-pivoted factorization of the (n, bc) block-column slab whose
     diagonal starts at global offset ``kk`` (static).
@@ -432,7 +467,7 @@ def _resolve_super(n: int, block: int, super_block) -> int | None:
 
 
 def _trailing_update(a, ks: int, kw: int, ce: int, policy, fprec, lu_diag, r,
-                     u12_block: int | None = None):
+                     u12_block: int | None = None, linv=None):
     """Deferred-window trailing update from the ``kw``-wide packed diagonal
     block at ``ks``: U12 := L11^{-1} A12 over columns [ks+kw, ce), then
     A[ks+kw:, ks+kw:ce] -= L21 @ U12.  ``ce == n`` reproduces the classic
@@ -482,7 +517,10 @@ def _trailing_update(a, ks: int, kw: int, ce: int, policy, fprec, lu_diag, r,
         u12 = jax.lax.dynamic_slice(a, (ks, e), (kw, w))
     else:
         # U12 block: L11^{-1} A12 via log-depth blocked triangular inverse
-        linv = unit_lower_inv_blocked(lu_diag, base=min(r, 128))
+        # (``linv`` precomputed by the lookahead driver, which splits the
+        # update narrow/wide and must not invert the diagonal twice)
+        if linv is None:
+            linv = unit_lower_inv_blocked(lu_diag, base=min(r, 128))
         a12 = jax.lax.dynamic_slice(a, (ks, e), (kw, w))
         u12 = jnp.dot(
             linv, a12, preferred_element_type=policy.accum, precision=fprec
@@ -492,9 +530,9 @@ def _trailing_update(a, ks: int, kw: int, ce: int, policy, fprec, lu_diag, r,
     l21 = a[e:, ks:e].astype(policy.gemm_in)
     u12c = u12.astype(policy.gemm_in)
     mtr = n - e
+    kon, interp = config.kernels_on()
     if (
-        config.use_pallas()
-        and jax.default_backend() == "tpu"
+        kon
         and mtr % 1024 == 0
         and e % 1024 == 0
         and w % 1024 == 0
@@ -505,7 +543,7 @@ def _trailing_update(a, ks: int, kw: int, ce: int, policy, fprec, lu_diag, r,
         # full HBM round-trip of the updated region)
         from mpf_tpu.ops.panel_fused import trailing_gemm_sub
 
-        a = trailing_gemm_sub(a, l21, u12c, e, ncols=w)
+        a = trailing_gemm_sub(a, l21, u12c, e, ncols=w, interpret=interp)
     else:
         upd = jnp.dot(
             l21, u12c, preferred_element_type=policy.accum,
@@ -518,6 +556,88 @@ def _trailing_update(a, ks: int, kw: int, ce: int, policy, fprec, lu_diag, r,
     return a
 
 
+def _lookahead_factorize(a, r, policy, fprec, block, ipiv, info, perm_total,
+                         interp: bool):
+    """One-deep pipelined fused loop (round 4, ``MPF_LOOKAHEAD``): the
+    trailing update of block column k is split at the next block column's
+    right edge — after the NARROW part (columns [k+bc, k+2bc)) the next
+    panel is factored (virtual pivoting, `_fused_panel_stage`), and its
+    physical row exchange rides INSIDE the WIDE trailing GEMM (columns
+    [k+2bc, n)) via `ops/gemmx.py`: the exchange's window DMAs are threaded
+    between the MXU tiles, each entry gated on completion of the GEMM row
+    strip it touches.  Mathematically identical to "full-width update, then
+    exchange" (the reference's strictly serial panel -> LASWP -> TRSM ->
+    GEMM order, `MPF.cu:100-240`); on chip the exchange's HBM/latency cost
+    rides the bandwidth the MXU-bound GEMM leaves idle.
+
+    Caller guarantees: every block column passes `_fused_ok`, >= 2 block
+    columns, n/block/bc aligned for `gemm_trailing`'s tile schedule
+    (1024 compiled / 128 interpret), combined exchange on, lazy off,
+    superblocking off."""
+    from mpf_tpu.ops.exchange import rows_exchange
+    from mpf_tpu.ops.gemmx import gemm_trailing
+
+    n = a.shape[0]
+    nb = [(k, min(block, n - k)) for k in range(0, n, block) if n - k > 1]
+    tile = dict(ti=128, t=128) if interp else {}
+    xoff = config.ablate("exchange")
+    outer_off = config.ablate("outer")
+
+    # prologue: panel + eager exchange for block column 0 (there is no
+    # earlier trailing GEMM for its exchange to hide inside)
+    k0_, bc0_ = nb[0]
+    a, ipiv, info, stage = _fused_panel_stage(a, k0_, bc0_, r, policy,
+                                              ipiv, info)
+    eager_x = not xoff  # block column 0's exchange is still pending
+
+    for i, (k, bc) in enumerate(nb):
+        _, _, glist, dests, u_all = stage
+        if eager_x:
+            a, pivrows = rows_exchange(a, k, glist, dests, interpret=interp)
+            a = jax.lax.dynamic_update_slice(a, pivrows, (k, 0))
+        a = jax.lax.dynamic_update_slice(a, u_all, (k, k))
+        perm_total = _compose_perm(perm_total, k, bc, stage)
+        e = k + bc
+        if i + 1 >= len(nb):
+            if e < n and not outer_off:  # epilogue tail (no next panel)
+                a = _trailing_update(a, k, bc, n, policy, fprec, u_all, r)
+            break
+        kn, bc2 = nb[i + 1]
+        e2 = kn + bc2
+        if not outer_off:
+            linv = unit_lower_inv_blocked(u_all, base=min(r, 128))
+            # narrow: U12 + trailing GEMM over exactly the next block column
+            a = _trailing_update(a, k, bc, e2, policy, fprec, u_all, r,
+                                 linv=linv)
+        a, ipiv, info, stage = _fused_panel_stage(a, kn, bc2, r, policy,
+                                                  ipiv, info)
+        _, _, glist2, dests2, _ = stage
+        if outer_off or e2 >= n:
+            # nothing wide to hide in: next iteration exchanges eagerly
+            eager_x = not xoff
+            continue
+        # wide: U12 over [e2, n), then ONE kernel = trailing GEMM with block
+        # column k+1's row exchange threaded through it
+        a12w = jax.lax.dynamic_slice(a, (k, e2), (bc, n - e2))
+        u12w = jnp.dot(
+            linv, a12w, preferred_element_type=policy.accum, precision=fprec
+        ).astype(a.dtype)
+        a = jax.lax.dynamic_update_slice(a, u12w, (k, e2))
+        l21 = a[e:, k:e].astype(policy.gemm_in)
+        u12g = u12w.astype(policy.gemm_in)
+        if xoff:
+            a = gemm_trailing(a, l21, u12g, e, e2, interpret=interp, **tile)
+            eager_x = False
+        else:
+            a, pivrows2 = gemm_trailing(
+                a, l21, u12g, e, e2, xargs=(kn, glist2, dests2, 0),
+                interpret=interp, **tile,
+            )
+            a = jax.lax.dynamic_update_slice(a, pivrows2, (kn, 0))
+            eager_x = False
+    return MPFResult(lu=a, ipiv=ipiv, info=info, perm=perm_total)
+
+
 def mpf_factorize_traced(
     a: jax.Array,
     r: int = 128,
@@ -526,6 +646,7 @@ def mpf_factorize_traced(
     block: int | None = None,
     panel_kernel=None,
     super_block="auto",
+    lookahead: bool | None = None,
 ) -> MPFResult:
     """Trace-time body: two-level blocked LU.  Call through
     :func:`mpf_factorize` / :func:`make_mpf` for the jitted entry points.
@@ -548,6 +669,7 @@ def mpf_factorize_traced(
         res = mpf_factorize_traced(
             apad, r=r, policy=policy, pivot=pivot, block=block,
             panel_kernel=panel_kernel, super_block=super_block,
+            lookahead=lookahead,
         )
         return MPFResult(
             lu=res.lu[:n, :n],
@@ -591,6 +713,37 @@ def mpf_factorize_traced(
             for k in range(0, n, block)
             if n - k > 1
         )
+    # One-deep lookahead (round 4): pipelined panel/exchange/GEMM order.
+    # Valid only when EVERY block column takes the fused path and the
+    # shapes satisfy `gemm_trailing`'s tile alignment.
+    looka = (
+        pivot
+        and (config.lookahead() if lookahead is None else lookahead)
+        and not lazy
+        and S is None
+        and config.combined_exchange()
+        and not config.ablate("slabio")
+    )
+    if looka:
+        kon, interp = config.kernels_on()
+        align = 128 if interp else 1024
+        looka = (
+            kon
+            and n % align == 0
+            and block % align == 0
+            and n >= 2 * block
+            and all(
+                _fused_ok(n, k, min(block, n - k), r, policy, pivot,
+                          panel_kernel)
+                for k in range(0, n, block)
+                if n - k > 1
+            )
+        )
+    if looka:
+        return _lookahead_factorize(
+            a, r, policy, fprec, block, ipiv, info, perm_total, interp
+        )
+
     snaps = []  # sealed-segment perm_total snapshots (trace-time unrolled)
 
     for k in range(0, n, block):
@@ -600,17 +753,10 @@ def mpf_factorize_traced(
         if _fused_ok(n, k, bc, r, policy, pivot, panel_kernel):
             # ---- round-2 fused path: virtual pivoting within the block
             # column, ONE bounded physical exchange per block column --------
-            q = _pad_quantum(n)
-            m = min(n, -((k - n) // q) * q)
-            k0 = n - m  # rows above k0 can neither pivot nor update
-            sub = a[k0:, k : k + bc]
-            sub, pos_l, olog_l, piv_l, u_all, info_b = (
-                _factor_block_column_fused(sub, k - k0, r, policy)
+            a, ipiv, info, stage = _fused_panel_stage(
+                a, k, bc, r, policy, ipiv, info
             )
-            if not config.ablate("slabio"):
-                a = a.at[k0:, k : k + bc].set(sub)
-            ipiv = ipiv.at[k : k + bc].set(k0 + piv_l + 1)
-            info = jnp.where((info == 0) & (info_b > 0), info_b + k, info)
+            k0, band_idx, glist_b, dests_b, u_all = stage
             # Bounded physical row exchange (LAPACK LASWP semantics,
             # `MPF.cu:42-59`, composed into one row map), split by the
             # structure of the composed map: (a) every row moving INTO the
@@ -621,12 +767,10 @@ def mpf_factorize_traced(
             # band occupant (swap chains always bottom out in the band), so
             # its values come from a contiguous slice and only a bounded
             # scatter (cheap, in-place) is needed.
-            band_idx = (k - k0) + _iota(bc)
-            dests_b = k0 + jnp.take(pos_l, band_idx)  # band rows' new positions
             ws = (k // qw) * qw if lazy else 0  # lazy-left-swap column start
             if not config.ablate("exchange"):
-                glist_b = k0 + olog_l  # pivot-row sources (original rows)
-                if config.use_pallas() and jax.default_backend() == "tpu":
+                kon, interp = config.kernels_on()
+                if kon:
                     # XLA lowers row scatter as a full-buffer rewrite (2x
                     # the whole matrix per block column); the window-RMW
                     # kernels touch only the granule windows that actually
@@ -646,15 +790,16 @@ def mpf_factorize_traced(
                         from mpf_tpu.ops.exchange import rows_exchange
 
                         a, pivrows = rows_exchange(a, k, glist_b, dests_b,
-                                                   ws=ws)
+                                                   ws=ws, interpret=interp)
                     else:
                         from mpf_tpu.ops.panel_fused import (
                             rows_gather,
                             rows_scatter_from_band,
                         )
 
-                        pivrows = rows_gather(a, glist_b)
-                        a = rows_scatter_from_band(a, k, dests_b)
+                        pivrows = rows_gather(a, glist_b, interpret=interp)
+                        a = rows_scatter_from_band(a, k, dests_b,
+                                                   interpret=interp)
                     a = jax.lax.dynamic_update_slice(a, pivrows, (k, ws))
                 else:
                     pivrows = jax.lax.optimization_barrier(
@@ -667,13 +812,7 @@ def mpf_factorize_traced(
             a = jax.lax.dynamic_update_slice(a, u_all, (k, k))
             # compose this block's row map boundedly: only the band and the
             # displaced destinations change
-            pt_old = perm_total
-            perm_total = perm_total.at[k + _iota(bc)].set(
-                jnp.take(pt_old, k0 + olog_l)
-            )
-            perm_total = perm_total.at[dests_b].set(
-                jnp.take(pt_old, k0 + band_idx)
-            )
+            perm_total = _compose_perm(perm_total, k, bc, stage)
             lu11 = u_all
         else:
             slab = a[:, k : k + bc]
@@ -764,7 +903,8 @@ def mpf_factorize_traced(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("r", "policy", "pivot", "block", "super_block"),
+    static_argnames=("r", "policy", "pivot", "block", "super_block",
+                     "lookahead"),
 )
 def mpf_factorize(
     a: jax.Array,
@@ -773,12 +913,15 @@ def mpf_factorize(
     pivot: bool = True,
     block: int | None = None,
     super_block="auto",
+    lookahead: bool | None = None,
 ) -> MPFResult:
     """Jitted blocked MPF factorization (the library entry point, reference
-    `MPF.h:3`)."""
+    `MPF.h:3`).  ``lookahead``: one-deep pipelined loop (round 4); ``None``
+    defers to the ``MPF_LOOKAHEAD`` env knob — an explicit bool is part of
+    the jit cache key, so A/B harnesses must pass it explicitly."""
     return mpf_factorize_traced(
         a, r=r, policy=policy, pivot=pivot, block=block,
-        super_block=super_block,
+        super_block=super_block, lookahead=lookahead,
     )
 
 
@@ -791,6 +934,7 @@ def make_mpf(
     panel_kernel=None,
     donate: bool = True,
     super_block="auto",
+    lookahead: bool | None = None,
 ):
     """Build a jitted factorizer for a fixed problem size, optionally donating
     the input buffer (in-place factorization like the reference's overwrite of
@@ -800,6 +944,7 @@ def make_mpf(
         return mpf_factorize_traced(
             a, r=r, policy=policy, pivot=pivot, block=block,
             panel_kernel=panel_kernel, super_block=super_block,
+            lookahead=lookahead,
         )
 
     return jax.jit(fn, donate_argnums=(0,) if donate else ())

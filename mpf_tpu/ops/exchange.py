@@ -53,12 +53,44 @@ from jax.experimental.pallas import tpu as pltpu
 from mpf_tpu.ops.panel_fused import _granule
 
 
+def xsel_mode() -> str:
+    """``MPF_XSEL``: row-extraction strategy inside the exchange kernels
+    (read at BUILD time by the wrappers and threaded into the lru-cached
+    builders as a static key — never inside a cached kernel).
+
+    ``masked`` — sublane-masked sum: ~3 VPU passes over the (g, w)
+    block per extracted row (compare + select + sublane tree-reduce).  The
+    round-3 shipped form; at n=65536 uniform this VPU work is the measured
+    exchange bound (~3 us x ~4k rows x 64 block columns ~= the 603 ms
+    exchange, tools/tpu_xsel_micro.py).
+
+    ``roll`` — uniform sublane rotate (`pltpu.roll`) bringing the wanted
+    row to sublane 0, then a static one-row slice: ~1 pass.  Bit-identical
+    (a rotate moves values, never rounds).  Default ``masked`` until the
+    round-4 chip A/B lands."""
+    import os
+
+    return os.environ.get("MPF_XSEL", "masked")
+
+
+def _row_take(block, rmod, grows, xsel: str):
+    """(1, w) fp32 extraction of traced sublane row ``rmod`` from a (g, w)
+    block value; see :func:`xsel_mode`."""
+    if xsel == "roll":
+        g = block.shape[0]
+        return pltpu.roll(block, (g - rmod) % g, 0)[0:1].astype(jnp.float32)
+    return jnp.sum(
+        jnp.where(grows == rmod, block.astype(jnp.float32), 0.0),
+        axis=0, keepdims=True,
+    )
+
+
 def _rows_exchange_kernel(
     r1_ref, pay1_ref, t1_ref, nxt1_ref, row2_ref, pay2_ref, t2_ref,
     nxw_ref, kmeta_ref,
     a_in_ref, a_ref, piv_ref, stg_ref,
     btile, wbuf, vbuf, stile, pend, wps, sems,
-    *, nr: int, g: int, ws: int, w: int,
+    *, nr: int, g: int, ws: int, w: int, xsel: str = "masked",
 ):
     """See module docstring.  Scalar-prefetch layout:
 
@@ -177,10 +209,7 @@ def _rows_exchange_kernel(
             def _():  # prefetch the next tile into the other slot
                 btile_read(nt, 1 - ts).start()
 
-        val = jnp.sum(
-            jnp.where(grows == rowp % g, btile[ts].astype(f32), 0.0),
-            axis=0, keepdims=True,
-        )
+        val = _row_take(btile[ts], rowp % g, grows, xsel)
         wcnt = emit_row(wcnt, val, t1_ref[e], pay1_ref[e])
         return tile, tord, wcnt
 
@@ -262,10 +291,7 @@ def _rows_exchange_kernel(
         # window's sources precede its dests — a position can be both)
         @pl.when(typ == 0)
         def _():
-            val = jnp.sum(
-                jnp.where(grows == grow % g, wbuf[cur].astype(f32), 0.0),
-                axis=0, keepdims=True,
-            )
+            val = _row_take(wbuf[cur], grow % g, grows, xsel)
             slot = wcnt % 4
 
             @pl.when(wcnt >= 4)
@@ -336,7 +362,8 @@ def _rows_exchange_kernel(
 
 @functools.lru_cache(maxsize=64)
 def _build_rows_exchange(n: int, wfull: int, ws: int, nr: int,
-                         dtype_name: str, interpret: bool = False):
+                         dtype_name: str, interpret: bool = False,
+                         xsel: str = "masked"):
     dt = jnp.dtype(dtype_name)
     g = _granule(dt)
     w = wfull - ws  # exchanged column suffix (lazy left swaps, round 4)
@@ -350,7 +377,8 @@ def _build_rows_exchange(n: int, wfull: int, ws: int, nr: int,
     # the kernel stays bit-identical.  Window/band tiles (g rows, aligned)
     # keep the slab dtype.
     sdt = jnp.dtype(jnp.float32)
-    kernel = functools.partial(_rows_exchange_kernel, nr=nr, g=g, ws=ws, w=w)
+    kernel = functools.partial(_rows_exchange_kernel, nr=nr, g=g, ws=ws, w=w,
+                               xsel=xsel)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -485,7 +513,7 @@ def rows_exchange(a, k, glist, dests, ws: int = 0, interpret=False):
 
     kmeta = jnp.stack([k, n1, n2, act_d.sum()]).astype(jnp.int32)
     a2, piv3, _ = _build_rows_exchange(
-        n, wfull, ws, nr, a.dtype.name, interpret
+        n, wfull, ws, nr, a.dtype.name, interpret, xsel_mode()
     )(r1s, pay1, t1, nxt1, row2, pay2, t2, nxw, kmeta, a)
     # pivrows staging is fp32 (see _build_rows_exchange); exact for bf16
     return a2, piv3.reshape(nr, w).astype(a.dtype)

@@ -45,6 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mpf_tpu.ops.panel_fused import _granule
+from mpf_tpu.ops.exchange import _row_take, xsel_mode
 
 _NWIN = 8   # exchange window ring slots (read-ahead 3 + write-behind)
 _XAHEAD = 3  # window read-ahead depth
@@ -56,7 +57,7 @@ def _gemmx_kernel(
     l_ref, u_ref, a_in_ref, a_ref, piv_ref, stg_ref,
     lbuf, ubuf, abuf, xwin, xband, xvbuf, xstile, pend, wps, sems, xsems,
     *, ti: int, t: int, kk: int, ni: int, nj: int, r0: int, c0: int,
-    g: int, ws: int, xw: int, nr: int, hi, fuse_x: bool,
+    g: int, ws: int, xw: int, nr: int, hi, fuse_x: bool, xsel: str = "masked",
 ):
     """meta (scalar prefetch): [kb, n1, n2, nd] — exchange band offset and
     active entry counts (schedule layout as in `exchange.rows_exchange`,
@@ -202,10 +203,7 @@ def _gemmx_kernel(
                 def _():  # keep two tiles of read-ahead
                     btile_read(nt, (tord + 2) % 4).start()
 
-            val = jnp.sum(
-                jnp.where(grows == rowp % g, xband[tsl].astype(f32), 0.0),
-                axis=0, keepdims=True,
-            )
+            val = _row_take(xband[tsl], rowp % g, grows, xsel)
             wcnt = emit_row(wcnt, val, t1_ref[e], pay1_ref[e])
             return tile, tord, wcnt
 
@@ -259,10 +257,7 @@ def _gemmx_kernel(
 
             @pl.when(typ == 0)
             def _():  # source extract (always before overlays in-window)
-                val = jnp.sum(
-                    jnp.where(grows == grow % g, xwin[cur].astype(f32), 0.0),
-                    axis=0, keepdims=True,
-                )
+                val = _row_take(xwin[cur], grow % g, grows, xsel)
                 slot = wcnt % 4
 
                 @pl.when(wcnt >= 4)
@@ -492,7 +487,7 @@ def _auto_tiles(m: int, kk: int, gd) -> tuple[int, int]:
 def _build_gemmx(n: int, r0: int, c0: int, m: int, w: int, kk: int,
                  ws: int, nr: int, dtype_name: str, gd_name: str,
                  interpret: bool = False, ti: int | None = None,
-                 t: int | None = None):
+                 t: int | None = None, xsel: str = "masked"):
     dt = jnp.dtype(dtype_name)
     gd = jnp.dtype(gd_name)
     g = _granule(dt)
@@ -509,7 +504,7 @@ def _build_gemmx(n: int, r0: int, c0: int, m: int, w: int, kk: int,
     hi = jax.lax.Precision.HIGHEST if gd == jnp.float32 else None
     kernel = functools.partial(
         _gemmx_kernel, ti=ti, t=t, kk=kk, ni=ni, nj=nj, r0=r0, c0=c0,
-        g=g, ws=ws, xw=xw, nr=nr, hi=hi, fuse_x=fuse_x,
+        g=g, ws=ws, xw=xw, nr=nr, hi=hi, fuse_x=fuse_x, xsel=xsel,
     )
     vmem = (
         2 * ti * kk * gd.itemsize          # lbuf
@@ -662,7 +657,8 @@ def gemm_trailing(a, l21, u12, r0, c0, ncols=None, xargs=None,
         nr = int(glist.shape[0])
         sched = exchange_schedules(n, k, glist, dests, g)
     fn = _build_gemmx(n, int(r0), int(c0), m, w, kk, int(ws), nr,
-                      a.dtype.name, l21.dtype.name, interpret, ti, t)
+                      a.dtype.name, l21.dtype.name, interpret, ti, t,
+                      xsel_mode())
     a2, piv3, _ = fn(*sched, l21, u12, a)
     if xargs is None:
         return a2

@@ -126,6 +126,8 @@ def test_rows_exchange_larger_band():
 
 from mpf_tpu.ops.exchange import permute_rows_window
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas throughout
+
 
 @pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
 @pytest.mark.parametrize("mode", ["uniform", "diag"])
@@ -198,3 +200,26 @@ def test_permute_rows_window_chunked():
         np.testing.assert_array_equal(a2, exp)
     finally:
         X._PERM_CHUNK = old
+
+
+@pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
+def test_rows_exchange_xsel_roll_bitexact(dtype, monkeypatch):
+    """MPF_XSEL=roll (uniform sublane rotate row extraction, round 4) must
+    be BIT-identical to the masked-sum default — a rotate moves values,
+    never rounds."""
+    rng = np.random.default_rng(99)
+    n, w, nr, k = 96, 128, 16, 16
+    a = rng.standard_normal((n, w)).astype(dtype)
+    glist, dests, rows = _swap_scenario(rng, n, k, nr, "uniform")
+    outs = {}
+    for xsel in ("masked", "roll"):
+        monkeypatch.setenv("MPF_XSEL", xsel)
+        a2, piv = rows_exchange(
+            jnp.asarray(a), k, jnp.asarray(glist), jnp.asarray(dests),
+            interpret=True,
+        )
+        outs[xsel] = np.asarray(
+            jax.lax.dynamic_update_slice(a2, piv, (k, 0)).astype(jnp.float32)
+        )
+    np.testing.assert_array_equal(outs["roll"], outs["masked"])
+    np.testing.assert_array_equal(outs["roll"], np.asarray(a, np.float32)[rows])

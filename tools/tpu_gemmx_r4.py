@@ -101,11 +101,14 @@ def _bench(name, fn, a, iters, rtt, flops=None):
 
 
 def phase_perf(iters=8):
+    # fp32 at kk=1024: the kk=2048 FUSED kernel exceeds the tunnel's
+    # remote-compile size limit (HTTP 413), so the fp32 lookahead driver
+    # runs block=1024 — measure the matching GEMM shape.
     rtt = _rtt()
     print(f"dispatch floor {rtt*1e3:.1f} ms", flush=True)
     rng = np.random.default_rng(5)
     n = 32768
-    for dt, kk in ((jnp.bfloat16, 1024), (jnp.float32, 2048)):
+    for dt, kk in ((jnp.bfloat16, 1024), (jnp.float32, 1024)):
         r0, c0 = kk, 2 * kk
         m, w = n - r0, n - c0
         a = jnp.asarray(rng.standard_normal((n, n)), dt)
@@ -133,7 +136,7 @@ def phase_perfx(iters=8):
     rtt = _rtt()
     rng = np.random.default_rng(9)
     n = 32768
-    for dt, kk in ((jnp.bfloat16, 1024), (jnp.float32, 2048)):
+    for dt, kk in ((jnp.bfloat16, 1024), (jnp.float32, 1024)):
         r0, c0 = kk, 2 * kk
         k, bc = r0, kk
         m, w = n - r0, n - c0
@@ -170,7 +173,60 @@ def phase_perfx(iters=8):
               f"({100*(t_s-t_f)/max(t_s,1e-9):.1f}% of serial)", flush=True)
 
 
-PHASES = {"val": phase_val, "perf": phase_perf, "perfx": phase_perfx}
+def phase_valroll():
+    """Chip bit-exactness of the MPF_XSEL=roll extraction (compiled Mosaic
+    lowering of the dynamic uniform sublane rotate) vs the masked default."""
+    rng = np.random.default_rng(11)
+    n, k, bc = 4096, 1024, 512
+    for dt in (jnp.float32, jnp.bfloat16):
+        a = jnp.asarray(rng.standard_normal((n, n)), dt)
+        glist, dests = _rand_band_perm(rng, n, k, bc)
+        outs = {}
+        for xsel in ("masked", "roll"):
+            os.environ["MPF_XSEL"] = xsel
+            a2, piv = jax.jit(
+                lambda a: rows_exchange(a, k, glist, dests,
+                                        interpret=INTERPRET)
+            )(a)
+            outs[xsel] = (a2, piv)
+        d_a = jnp.max(jnp.abs(outs["roll"][0].astype(jnp.float32)
+                              - outs["masked"][0].astype(jnp.float32)))
+        d_p = jnp.max(jnp.abs(outs["roll"][1].astype(jnp.float32)
+                              - outs["masked"][1].astype(jnp.float32)))
+        ok = float(d_a) == 0 == float(d_p)
+        print(f"valroll {jnp.dtype(dt).name}: a={float(d_a)} piv={float(d_p)}"
+              f" {'OK' if ok else 'FAIL'}", flush=True)
+    os.environ.pop("MPF_XSEL", None)
+
+
+def phase_xchg(iters=16):
+    """Standalone combined one-sweep exchange, xsel A/B, uniform-style
+    movement (every band row moves) at the flagship size."""
+    rtt = _rtt()
+    rng = np.random.default_rng(7)
+    n = 32768
+    for dt in (jnp.bfloat16, jnp.float32):
+        a = jnp.asarray(rng.standard_normal((n, n)), dt)
+        k, bc = 1024, 1024
+        glist, dests = _rand_band_perm(rng, n, k, bc)
+        for xsel in ("masked", "roll"):
+            os.environ["MPF_XSEL"] = xsel
+
+            def run(a):
+                def body(i, a):
+                    a2, piv = rows_exchange(a, k, glist, dests,
+                                            interpret=INTERPRET)
+                    return jax.lax.dynamic_update_slice(
+                        a2, piv.astype(a2.dtype), (k, 0))
+                return jax.lax.fori_loop(0, iters, body, a)
+
+            _bench(f"{jnp.dtype(dt).name} xchg xsel={xsel}", run, a, iters,
+                   rtt)
+    os.environ.pop("MPF_XSEL", None)
+
+
+PHASES = {"val": phase_val, "perf": phase_perf, "perfx": phase_perfx,
+          "valroll": phase_valroll, "xchg": phase_xchg}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(PHASES)
