@@ -59,6 +59,7 @@ def test_dist_no_pivot():
     assert rep.ok, str(rep)
 
 
+@pytest.mark.slow
 def test_dist_oracle_b128():
     """Production panel width (b=128, VERDICT round-2 item 4) on the
     8-device mesh."""
@@ -76,6 +77,7 @@ def test_dist_oracle_b128():
     np.testing.assert_array_equal(np.asarray(res.ipiv), np.asarray(res_s.ipiv))
 
 
+@pytest.mark.slow
 def test_dist_fused_matches_jnp_path(monkeypatch):
     """The fused replicated-panel dist path (round 2) must produce the same
     pivots/factors as the jnp dist path — interpret mode on the CPU mesh."""
@@ -118,6 +120,7 @@ def test_dist_bad_dims():
         dist_factorize(jnp.zeros((30, 30)), mesh, b=4)
 
 
+@pytest.mark.slow
 def test_dist_fused_superblock_matches_single_chip(monkeypatch):
     """Three-level blocking on the fused dist path: same update schedule as
     the superblocked single-chip driver (mid per block, one wide far GEMM
@@ -158,3 +161,49 @@ def test_dist_fused_superblock_matches_single_chip(monkeypatch):
     assert rep.ok, str(rep)
     np.testing.assert_array_equal(ipiv_f, res_s.ipiv)
     np.testing.assert_array_equal(perm_f, res_s.perm)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (1, 8)])
+def test_owner_panel_bitexact_vs_replicated(shape, monkeypatch):
+    """Row-sharded (owner) panel work (round 4) must be BIT-identical to the
+    replicated-panel path — pivots, factors, perm — on a pivot-heavy
+    uniform matrix, across mesh shapes."""
+    ndev = shape[0] * shape[1]
+    mesh = make_mesh(shape, devices=jax.devices()[:ndev])
+    n, b = 128, 8
+    a = matgen.random_dense(n, seed=13)
+    outs = {}
+    for mode in ("owner", "replicated"):
+        monkeypatch.setenv("MPF_DIST_PANEL", mode)
+        outs[mode] = jax.tree.map(
+            np.asarray,
+            dist_factorize(jnp.asarray(a), mesh, b=b, policy=MPF_BF16),
+        )
+    o, rp = outs["owner"], outs["replicated"]
+    np.testing.assert_array_equal(o.ipiv, rp.ipiv)
+    np.testing.assert_array_equal(o.perm, rp.perm)
+    np.testing.assert_array_equal(
+        np.asarray(o.lu, np.float32), np.asarray(rp.lu, np.float32)
+    )
+    rep = check_factorization(a.astype(np.float64), o.lu, o.ipiv,
+                              nbe_tol=1e-3)
+    assert rep.ok, str(rep)
+
+
+def test_owner_panel_matches_single_chip_fp32(monkeypatch):
+    """Owner-panel dist path vs the single-chip driver, fp32: pivot-exact;
+    LU values differ only by the dist trailing GEMM's accumulation shape
+    (same tolerance as the replicated-path test)."""
+    monkeypatch.setenv("MPF_DIST_PANEL", "owner")
+    mesh = make_mesh((2, 4))
+    n, b = 64, 8
+    a = matgen.random_dense(n, seed=14).astype(np.float32)
+    res_d = dist_factorize(jnp.asarray(a), mesh, b=b, policy=PURE_FP32)
+    res_s = mpf_factorize(jnp.asarray(a), r=b, policy=PURE_FP32, block=b)
+    np.testing.assert_array_equal(np.asarray(res_d.ipiv),
+                                  np.asarray(res_s.ipiv))
+    scale = np.abs(np.asarray(res_s.lu)).max()
+    assert np.abs(np.asarray(res_d.lu) - np.asarray(res_s.lu)).max() <= (
+        1e-5 * scale
+    )
