@@ -47,13 +47,16 @@ def _short_err(e, limit=160):
     return s[:limit] + ("..." if len(s) > limit else "")
 
 
-def _measure_factor(n, r, block, policy, super_block="auto"):
-    """Seconds per factorization at size n, net of device-side generation."""
+def _measure_factor(n, r, block, policy, super_block="auto", gen=None):
+    """Seconds per factorization at size n, net of device-side generation.
+    ``gen``: device-side matrix generator (default HPL-AI; pass
+    ``matgen.random_dense_device`` for the pivot-heavy uniform corpus)."""
+    gen = gen or matgen.hpl_ai_matrix_device
     fac = mpf_tpu.make_mpf(n, r=r, policy=policy, block=block, donate=True,
                            super_block=super_block)
 
     def run(_):
-        return fac(matgen.hpl_ai_matrix_device(n, seed=0))
+        return fac(gen(n, seed=0))
 
     try:
         secs, _ = time_fn(run, 0, warmup=1, iters=3)
@@ -64,10 +67,8 @@ def _measure_factor(n, r, block, policy, super_block="auto"):
         # the chip-proven two-level driver before degrading in SIZE
         print(f"WARNING: n={n} super_block=auto failed ({_short_err(e)}); "
               "retrying two-level", file=sys.stderr)
-        return _measure_factor(n, r, block, policy, super_block=None)
-    gsecs, _ = time_fn(
-        lambda _: matgen.hpl_ai_matrix_device(n, seed=0), 0, warmup=1, iters=2,
-    )
+        return _measure_factor(n, r, block, policy, super_block=None, gen=gen)
+    gsecs, _ = time_fn(lambda _: gen(n, seed=0), 0, warmup=1, iters=2)
     return max(secs - gsecs, 1e-9)
 
 
@@ -158,6 +159,62 @@ def main():
             print(f"WARNING: north-star n={ns_n} run failed: {northstar_err}",
                   file=sys.stderr)
 
+    # uniform-corpus north star (VERDICT r3 item 1): the pivot-heavy corpus
+    # (`matrix_generator.cpp:66` uniform values — pivots move on ~every
+    # column) at the same size/policy/block; the >= 60% gate must hold here,
+    # not just on the diagonally-dominant HPL-AI corpus.  Shares the jitted
+    # factorizer with the hpl leg (same static config -> no extra compile).
+    ns_uni_tflops = ns_uni_err = None
+    if ns_n and northstar_tflops is not None:
+        try:
+            u_secs = _measure_factor(
+                ns_n, r, int(os.environ.get("BENCH_NORTHSTAR_BLOCK", "1024")),
+                ALL_BF16, gen=matgen.random_dense_device)
+            ns_uni_tflops = tflops(ns_n, u_secs)
+        except Exception as e:  # noqa: BLE001
+            ns_uni_err = _short_err(e)
+            print(f"WARNING: uniform north-star run failed: {ns_uni_err}",
+                  file=sys.stderr)
+
+    # flagship-size end-to-end solve (VERDICT r3 item 8): factor + 3-sweep
+    # Richardson IR at the headline size, wall-clock seconds (net of
+    # device-side generation).
+    solve_secs = solve_err = None
+    if os.environ.get("BENCH_SOLVE", "1") == "1":
+        try:
+            from mpf_tpu.models.refine import mpf_solve
+
+            @jax.jit
+            def _solve_run(seed):
+                a = matgen.hpl_ai_matrix_device(n, seed=seed)
+                rhs = jnp.ones((n,), jnp.float32)
+                return mpf_solve(a, rhs, r=r, policy=policy).x
+
+            s_secs, _ = time_fn(_solve_run, 0, warmup=1, iters=2)
+            g_secs, _ = time_fn(
+                lambda _: matgen.hpl_ai_matrix_device(n, seed=0), 0,
+                warmup=1, iters=2)
+            solve_secs = max(s_secs - g_secs, 1e-9)
+        except Exception as e:  # noqa: BLE001
+            solve_err = _short_err(e)
+            print(f"WARNING: flagship solve failed: {solve_err}",
+                  file=sys.stderr)
+
+    # same-size host-CPU LAPACK wall-clock (the reference's dual-timing
+    # shape, `benchmark.cpp:219-242`): scipy lu_factor on the host, once.
+    scipy_secs = None
+    if os.environ.get("BENCH_SCIPY", "1") == "1" and n <= 32768:
+        try:
+            import scipy.linalg as sla
+
+            a_host = matgen.hpl_ai_matrix(n, seed=0)
+            t0 = time.perf_counter()
+            sla.lu_factor(a_host, overwrite_a=True, check_finite=False)
+            scipy_secs = time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001
+            print(f"WARNING: scipy same-size baseline failed: "
+                  f"{_short_err(e)}", file=sys.stderr)
+
     # IR gate (BASELINE.json config 3): solution backward error after <=3
     # Richardson sweeps on the bf16-GEMM factors must reach O(eps_fp32)
     ir_be = None
@@ -195,6 +252,17 @@ def main():
             round(100.0 * northstar_tflops / sustained_mxu_tflops, 1)
             if northstar_tflops else None),
         "northstar_error": northstar_err,
+        "northstar_uniform_tflops": (
+            round(ns_uni_tflops, 3) if ns_uni_tflops else None),
+        "northstar_uniform_pct": (
+            round(100.0 * ns_uni_tflops / sustained_mxu_tflops, 1)
+            if ns_uni_tflops else None),
+        "northstar_uniform_error": ns_uni_err,
+        "solve_seconds_flagship": (
+            round(solve_secs, 4) if solve_secs else None),
+        "solve_error": solve_err,
+        "scipy_same_size_seconds": (
+            round(scipy_secs, 2) if scipy_secs else None),
         "oracle_nbe_n2048": rep.normwise_backward_err,
         "oracle_ok": rep.ok,
         "ir_backward_error_3sweeps": ir_be,
@@ -204,7 +272,8 @@ def main():
     }
     line = json.dumps(out)
     if len(line) > 2000:  # hard guarantee: the artifact line stays parseable
-        for k in ("baseline_errors", "baseline", "northstar_error"):
+        for k in ("baseline_errors", "baseline", "northstar_error",
+                  "northstar_uniform_error", "solve_error"):
             out[k] = None
         line = json.dumps(out)
     sys.stdout.flush()

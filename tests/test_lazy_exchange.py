@@ -16,6 +16,8 @@ from mpf_tpu.precision import ALL_BF16, MPF_BF16
 from mpf_tpu.utils import matgen
 from mpf_tpu.utils.oracle import check_factorization
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas throughout
+
 
 def _run(a, pol, r, block, monkeypatch, lazy, qw):
     monkeypatch.setattr(M, "_PAD_QUANTUM", 128)

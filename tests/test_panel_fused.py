@@ -21,6 +21,8 @@ from mpf_tpu.precision import MPF_BF16, ALL_BF16
 from mpf_tpu.utils import matgen
 from mpf_tpu.utils.oracle import check_factorization
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas throughout
+
 
 def _dyadic(rng, m, r):
     """Entries whose elimination stays exact in fp32 — makes the deferred

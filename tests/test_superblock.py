@@ -18,6 +18,8 @@ from mpf_tpu.precision import ALL_BF16
 from mpf_tpu.utils import matgen
 from mpf_tpu.utils.oracle import check_factorization
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas throughout
+
 
 @pytest.mark.parametrize(
     "n,r,block,S",
