@@ -375,6 +375,7 @@ def _strip_pivot_kernel_gm(
     piv_ref, pos_ref, glist_ref,
     t_ref, chunk_ref, sem,
     *, r: int, m: int, nchunk: int, ch: int, quant16: bool = False,
+    stub: str = "",
 ):
     """Group-major strip pivot kernel (round 3, VERDICT r2 item 1).
 
@@ -459,7 +460,16 @@ def _strip_pivot_kernel_gm(
             st, mbuf, olist, posk, piv, olog = carry
             d2 = 2 * (off + s0 + jc)
             colv3 = st[jc]                             # free tile select
-            winner, posk, cpk, safe = _search_column(colv3, posk, d2, quant16)
+            if "search" in stub:  # stub: diagonal pivot, no reduce (WRONG)
+                winner = posk == (
+                    (jnp.int32(131070) - d2) if quant16 else d2
+                )
+                cpk = jnp.zeros((1, 1), jnp.int32) + d2
+                safe = jnp.ones((1, 1), f32)
+            else:
+                winner, posk, cpk, safe = _search_column(
+                    colv3, posk, d2, quant16
+                )
             below = _below_diag(posk, d2, quant16)
             o1 = jnp.sum(jnp.where(winner, lanes3, 0), keepdims=True
                          ).reshape(1, 1)
@@ -470,6 +480,8 @@ def _strip_pivot_kernel_gm(
             olist = jnp.where(wlanes == jc, o1, olist)
             mult3 = jnp.where(below, colv3 / safe, 0.0)        # (8, ml)
             mbuf = jnp.where(wrows3 == jc, mult3[None], mbuf)
+            if "elim" in stub:  # timing-attribution stub (results WRONG)
+                return st, mbuf, olist, posk, piv, olog
             # in-strip elimination: the winner row's value in every strip
             # column at once (one nonzero per sum — exact in any order)
             ucol = jnp.sum(
@@ -523,7 +535,8 @@ def _strip_pivot_kernel_gm(
             t_ref[:, pl.ds(so, _W), :] = (tk.astype(f32) - upd).astype(dt)
             return 0
 
-        jax.lax.fori_loop(s + 1, nstrips, upd_body, 0)
+        if "defer" not in stub:  # stub: timing attribution (results WRONG)
+            jax.lax.fori_loop(s + 1, nstrips, upd_body, 0)
         return posk, piv, olog
 
     posk, piv, olog = jax.lax.fori_loop(
@@ -538,7 +551,7 @@ def _strip_pivot_kernel_gm(
 def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
                        panel_dtype_name: str, interpret: bool = False,
                        quant16_override: bool | None = None,
-                       gm: bool = False):
+                       gm: bool = False, stub: str = ""):
     in_dtype = jnp.dtype(in_dtype_name)
     panel_dtype = jnp.dtype(panel_dtype_name)
     # largest chunk that divides m (the chunk loop is trace-unrolled, so ch
@@ -572,7 +585,7 @@ def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
         chg = ml if ml <= _CHUNK else math.gcd(ml, _CHUNK)
         kernel = functools.partial(
             _strip_pivot_kernel_gm, r=r, m=m, nchunk=m // chg, ch=chg,
-            quant16=quant16,
+            quant16=quant16, stub=stub,
         )
         return pl.pallas_call(
             kernel,
@@ -698,7 +711,8 @@ def strip_panel_pivots(panel, off, pos, panel_dtype=None, interpret=False,
             and os.environ.get("MPF_QUANT16", "1") != "0"
         )
     fn = _build_strip_pivot(
-        m, w, r, panel.dtype.name, panel_dtype.name, interpret, _quant16, gm
+        m, w, r, panel.dtype.name, panel_dtype.name, interpret, _quant16, gm,
+        os.environ.get("MPF_A1_STUB", ""),  # timing attribution ONLY
     )
     if gm:
         # group-major kernel: pos crosses the boundary as the (8, ml)
