@@ -536,7 +536,18 @@ def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy,
     block column is factored with the single-chip fused pipeline
     (strip-blocked pivot kernel, rowblock assembly, streaming update —
     `ops/panel_strip.py` / `ops/panel_fused.py`), so a (1, 1)-mesh run is
-    structurally the single-chip driver plus no-op collectives.  The step
+    structurally the single-chip driver plus no-op collectives.
+
+    Panel replication tradeoff (round 4): the jnp path's owner-column /
+    row-sharded panel (:func:`_dist_lu_local_owner`) scales per-device
+    panel flops as 1/P but pays 3 ROW-axis collectives per panel COLUMN —
+    the Pallas strip kernel cannot host per-column mesh collectives, so
+    the fused path keeps the replicated panel: constant per-device panel
+    cost, but only 2 collectives per panel and the chip-proven kernels.
+    Panel work is O(n^2 b) of the O(n^3) total, so replication costs
+    ~b/n·P of ideal scaling — acceptable at production shapes (b=1024,
+    n>=32768, P<=4); the owner path is the template if larger meshes make
+    it the wall.  The step
     loop is unrolled at trace time (static offsets, like the single-chip
     outer loop).  Three-level blocking (`super_block`, same resolution rule
     as the single-chip driver): per-step trailing work is confined to the
