@@ -65,6 +65,50 @@ def _gemmx_kernel(
     f32 = jnp.float32
     nsteps = ni * nj
     dt = a_ref.dtype
+    # pair-major schedule (round 4): row strips processed in PAIRS sharing
+    # one u12 tile pass — step s covers strip base + 2p + (sp % 2), column
+    # tile (sp % 2nj) // 2 — halving the u12 re-fetch traffic (the dominant
+    # non-output HBM term: (m/ti)·kk·w bytes at ti=2048).  Odd ni runs
+    # strip 0 SOLO first (classic order), then pairs — every shape pairs.
+    # Bit-identical results (same per-tile dots, different order).
+    pair = ni >= 2
+    solo = (ni % 2) if pair else 0
+    base = solo * nj  # steps in the leading solo-strip region
+    nls = 4 if pair else 2  # lbuf ring slots
+
+    def sij(s):
+        if not pair:
+            return s // nj, s % nj
+        if isinstance(s, int):
+            if s < base:
+                return 0, s
+            sp = s - base
+            return 2 * (sp // (2 * nj)) + sp % 2 + solo, (sp % (2 * nj)) // 2
+        sp = s - base
+        ip = 2 * (sp // (2 * nj)) + sp % 2 + solo
+        jp = (sp % (2 * nj)) // 2
+        if solo:
+            return (jnp.where(s < base, 0, ip), jnp.where(s < base, s, jp))
+        return ip, jp
+
+    def uq(s):
+        """u-tile ordinal of step s (consecutive tiles share a ring slot
+        ordinal; a pair's two steps share ONE ordinal)."""
+        if not pair:
+            return s
+        if isinstance(s, int):
+            return s if s < base else base + (s - base) // 2
+        q = base + (s - base) // 2
+        return jnp.where(s < base, s, q) if solo else q
+
+    def uneed(s):
+        """Does step s start/await its own u-tile read (vs sharing its
+        pair partner's)?"""
+        if not pair:
+            return True
+        if isinstance(s, int):
+            return s < base or (s - base) % 2 == 0
+        return (s < base) | ((s - base) % 2 == 0)
 
     # ---------------- GEMM tile DMAs ----------------------------------------
     def l_read(i, slot):
@@ -91,7 +135,7 @@ def _gemmx_kernel(
 
     def a_write(i, j, slot):
         return pltpu.make_async_copy(abuf.at[slot], a_tile(i, j),
-                                      sems.at[10 + slot])
+                                      sems.at[12 + slot])
 
     # ---------------- fused-exchange machinery (columns [ws, ws+xw)) --------
     if fuse_x:
@@ -311,7 +355,15 @@ def _gemmx_kernel(
             its tile writes have landed (writes lag two steps; entries run
             at the end of a step).  Rows above r0 are immediately free."""
             si = jnp.where(row >= r0, (row - r0) // ti, jnp.int32(-1))
-            return s >= jnp.where(si < 0, jnp.int32(0), (si + 1) * nj + 2)
+            if pair:
+                sq = si - solo  # pair-region strip index (solo strip is -1)
+                done = (base + (sq // 2) * (2 * nj) + 2 * (nj - 1)
+                        + (sq % 2) + 3)
+                if solo:
+                    done = jnp.where(si == 0, nj + 2, done)
+            else:
+                done = (si + 1) * nj + 2
+            return s >= jnp.where(si < 0, jnp.int32(0), done)
 
         def p1_gate_row(e):
             """Furthest row entry ``e``'s processing may TOUCH — its own
@@ -338,28 +390,52 @@ def _gemmx_kernel(
 
     # ---------------- main loop ----------------------------------------------
     l_read(0, 0).start()
+    if pair:
+        l_read(1, 1).start()
+        if solo and ni >= 3:
+            l_read(2, 2).start()  # pair (1, 2) follows the solo strip
     for s0 in range(min(2, nsteps)):
-        a_read(s0 // nj, s0 % nj, s0 % 4).start()
-        u_read(s0 % nj, s0 % 4).start()
+        a_read(*sij(s0), s0 % 4).start()
+        if uneed(s0):
+            u_read(sij(s0)[1], uq(s0) % 4).start()
 
     def step(s, carry):
         (e1, t1a, t1b, t1c, drained, e2, c2a, c2b, c2c, c2d, c2e) = carry
-        i = s // nj
-        j = s % nj
+        i, j = sij(s)
         slot = s % 4
 
-        @pl.when(j == 0)
-        def _():
-            l_read(i, i % 2).wait()
+        if pair:
+            @pl.when((s >= base) & ((s - base) % (2 * nj) == 0))
+            def _():  # pair start: i is the pair's first strip here
+                l_read(i, i % 4).wait()
+                l_read(i + 1, (i + 1) % 4).wait()
 
-            @pl.when(i + 1 < ni)
+                @pl.when(i + 2 < ni)
+                def _():  # strips beyond the solo one come in pairs
+                    l_read(i + 2, (i + 2) % 4).start()
+                    l_read(i + 3, (i + 3) % 4).start()
+            if solo:
+                @pl.when(s == 0)
+                def _():
+                    l_read(0, 0).wait()
+        else:
+            @pl.when(j == 0)
             def _():
-                l_read(i + 1, (i + 1) % 2).start()
+                l_read(i, i % 2).wait()
+
+                @pl.when(i + 1 < ni)
+                def _():
+                    l_read(i + 1, (i + 1) % 2).start()
 
         a_read(i, j, slot).wait()
-        u_read(j, slot).wait()
+        if pair:
+            @pl.when(uneed(s))
+            def _():  # the same u tile serves the pair's other strip
+                u_read(j, uq(s) % 4).wait()
+        else:
+            u_read(j, uq(s) % 4).wait()
         upd = jax.lax.dot_general(
-            lbuf[i % 2], ubuf[slot], (((1,), (0,)), ((), ())),
+            lbuf[i % nls], ubuf[uq(s) % 4], (((1,), (0,)), ((), ())),
             preferred_element_type=f32, precision=hi,
         )
         abuf[slot] = (abuf[slot].astype(f32) - upd).astype(dt)
@@ -372,10 +448,15 @@ def _gemmx_kernel(
 
             @pl.when(s >= 2)
             def _():
-                a_write((s - 2) // nj, (s - 2) % nj, slot2).wait()
+                a_write(*sij(s - 2), slot2).wait()
 
-            a_read(s2 // nj, s2 % nj, slot2).start()
-            u_read(s2 % nj, slot2).start()
+            a_read(*sij(s2), slot2).start()
+            if pair:
+                @pl.when(uneed(s2))
+                def _():
+                    u_read(sij(s2)[1], uq(s2) % 4).start()
+            else:
+                u_read(sij(s2)[1], uq(s2) % 4).start()
 
         if not fuse_x:
             return carry
@@ -440,7 +521,7 @@ def _gemmx_kernel(
     # epilogue: flush the last GEMM tile writes ...
     for back in range(min(4, nsteps)):
         s = nsteps - 1 - back
-        a_write(s // nj, s % nj, s % 4).wait()
+        a_write(*sij(s), s % 4).wait()
 
     if fuse_x:
         # ... then drain the remaining exchange entries (every gate is now
@@ -507,7 +588,7 @@ def _build_gemmx(n: int, r0: int, c0: int, m: int, w: int, kk: int,
         g=g, ws=ws, xw=xw, nr=nr, hi=hi, fuse_x=fuse_x, xsel=xsel,
     )
     vmem = (
-        2 * ti * kk * gd.itemsize          # lbuf
+        4 * ti * kk * gd.itemsize          # lbuf (4 slots in pair mode)
         + 4 * kk * t * gd.itemsize         # ubuf
         + 4 * ti * t * dt.itemsize         # abuf
         + 2 * ti * t * 4                   # f32 dot/subtract temporaries
@@ -532,7 +613,10 @@ def _build_gemmx(n: int, r0: int, c0: int, m: int, w: int, kk: int,
                 pl.BlockSpec(memory_space=pl.ANY),   # staged
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, ti, kk), gd),          # lbuf
+                # lbuf: 4 slots (a full strip PAIR + the next pair's
+                # prefetch) in pair-major mode (ni >= 2, matching the
+                # kernel's gate), 2 otherwise
+                pltpu.VMEM((4 if ni >= 2 else 2, ti, kk), gd),
                 pltpu.VMEM((4, kk, t), gd),           # ubuf
                 pltpu.VMEM((4, ti, t), dt),           # abuf
                 pltpu.VMEM((_NWIN, g, xw), dt),       # exchange window ring
@@ -541,7 +625,9 @@ def _build_gemmx(n: int, r0: int, c0: int, m: int, w: int, kk: int,
                 pltpu.VMEM((2, 8, 1, xw), sdt),       # staged batches
                 pltpu.SMEM((4, 2), jnp.int32),        # pend (kind,pos)/vbuf
                 pltpu.SMEM((_NWIN, 2), jnp.int32),    # wps (flag,win)/slot
-                pltpu.SemaphoreType.DMA((14,)),       # GEMM sems
+                # GEMM sems: 0-3 u ring, 4-7 a reads, 8-11 l ring (4 slots
+                # in pair-major mode), 12-15 a writes
+                pltpu.SemaphoreType.DMA((16,)),
                 # exchange sems: 0-3 row ring, 4-11 window reads, 12-19
                 # window writes, 20-23 band tiles, 24-25 staged batches
                 pltpu.SemaphoreType.DMA((10 + 2 * _NWIN,)),

@@ -121,3 +121,27 @@ def test_fused_full_reversal(rng):
     ra[k:k + bc] = oa[k:k + bc]
     assert (oa == ra).all()
     assert (np.array(out_piv) == np.array(ref_piv)).all()
+
+
+@pytest.mark.parametrize("dt,c0,bc", [(jnp.float32, 256, 64),
+                                      (jnp.bfloat16, 384, 48)])
+def test_fused_exchange_pair_major(rng, dt, c0, bc):
+    """Even strip count takes the pair-major schedule (round 4: strip PAIRS
+    share one u12 tile pass) — must stay bit-exact vs the composition."""
+    n, kk, k = 512, 128, 256
+    r0 = k
+    m, w = n - r0, n - c0  # m/ti = 2 strips -> pair path
+    a = jnp.asarray(rng.standard_normal((n, n)), dt)
+    l21 = jnp.asarray(rng.standard_normal((m, kk)), dt)
+    u12 = jnp.asarray(rng.standard_normal((kk, w)), dt)
+    glist, dests = _rand_band_perm(rng, n, k, bc)
+    ag = gemm_trailing(a, l21, u12, r0, c0, interpret=True, ti=128, t=128)
+    ref_a, ref_piv = rows_exchange(ag, k, glist, dests, interpret=True)
+    out_a, out_piv = gemm_trailing(
+        a, l21, u12, r0, c0, xargs=(k, glist, dests, 0),
+        interpret=True, ti=128, t=128,
+    )
+    oa, ra = np.array(out_a), np.array(ref_a)
+    ra[k:k + bc] = oa[k:k + bc]
+    assert (oa == ra).all()
+    assert (np.array(out_piv) == np.array(ref_piv)).all()
