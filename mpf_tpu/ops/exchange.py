@@ -858,22 +858,32 @@ def permute_rows_window(a, rel, cs: int, q: int, stg=None, interpret=False):
 
         def stage_body(c, stg):
             c1 = jnp.clip(n1 - c * C, 0, C)
-            sc = jax.lax.dynamic_slice(src, (c * C,), (C,))
-            sl = jax.lax.dynamic_slice(slot, (c * C,), (C,))
-            wid = jnp.where(ipos < c1, sc // g, jnp.int32(-2))
-            nxw = _next_distinct(wid)
-            cmeta = jnp.stack([cs_i, c1]).astype(jnp.int32)
-            return stage(sc, sl, nxw, cmeta, a, stg)
+
+            def run(stg):
+                sc = jax.lax.dynamic_slice(src, (c * C,), (C,))
+                sl = jax.lax.dynamic_slice(slot, (c * C,), (C,))
+                wid = jnp.where(ipos < c1, sc // g, jnp.int32(-2))
+                nxw = _next_distinct(wid)
+                cmeta = jnp.stack([cs_i, c1]).astype(jnp.int32)
+                return stage(sc, sl, nxw, cmeta, a, stg)
+
+            # empty chunks (n1 < c*C) skip the kernel launch entirely
+            # (ADVICE r3: every chunk launched as a no-op kernel before)
+            return jax.lax.cond(c1 > 0, run, lambda stg: stg, stg)
 
         stg = jax.lax.fori_loop(0, nchunks, stage_body, stg0)
 
         def overlay_body(c, a):
             c1 = jnp.clip(n1 - c * C, 0, C)
-            db = jax.lax.dynamic_slice(dst, (c * C,), (C,))
-            wid = jnp.where(ipos < c1, db // g, jnp.int32(-2))
-            nxw = _next_distinct(wid)
-            cmeta = jnp.stack([cs_i, c1, c * C]).astype(jnp.int32)
-            return overlay(db, nxw, cmeta, stg, a)
+
+            def run(a):
+                db = jax.lax.dynamic_slice(dst, (c * C,), (C,))
+                wid = jnp.where(ipos < c1, db // g, jnp.int32(-2))
+                nxw = _next_distinct(wid)
+                cmeta = jnp.stack([cs_i, c1, c * C]).astype(jnp.int32)
+                return overlay(db, nxw, cmeta, stg, a)
+
+            return jax.lax.cond(c1 > 0, run, lambda a: a, a)
 
         return jax.lax.fori_loop(0, nchunks, overlay_body, a), stg
 
