@@ -375,7 +375,7 @@ def _strip_pivot_kernel_gm(
     piv_ref, pos_ref, glist_ref,
     t_ref, chunk_ref, sem,
     *, r: int, m: int, nchunk: int, ch: int, quant16: bool = False,
-    stub: str = "",
+    stub: str = "", v2: bool = False,
 ):
     """Group-major strip pivot kernel (round 3, VERDICT r2 item 1).
 
@@ -446,61 +446,9 @@ def _strip_pivot_kernel_gm(
     hi = jax.lax.Precision.HIGHEST if dt == f32 else None
     bdn = (((2,), (2,)), ((0,), (0,)))   # batch s-planes, contract lanes
 
-    def strip_body(s, carry0):
-        posk, piv, olog = carry0
-        s0 = pl.multiple_of(s * _W, _W)
-        # C-major working strip: st[jc] = column jc's values over (8, ml)
-        st = jnp.transpose(
-            t_ref[:, pl.ds(s0, _W), :].astype(f32), (1, 0, 2)
-        )
-        mbuf = jnp.zeros((_W, 8, ml), f32)
-        olist = jnp.zeros((1, _W), jnp.int32)
-
-        def col_body(jc, carry):
-            st, mbuf, olist, posk, piv, olog = carry
-            d2 = 2 * (off + s0 + jc)
-            colv3 = st[jc]                             # free tile select
-            if "search" in stub:  # stub: diagonal pivot, no reduce (WRONG)
-                winner = posk == (
-                    (jnp.int32(131070) - d2) if quant16 else d2
-                )
-                cpk = jnp.zeros((1, 1), jnp.int32) + d2
-                safe = jnp.ones((1, 1), f32)
-            else:
-                winner, posk, cpk, safe = _search_column(
-                    colv3, posk, d2, quant16
-                )
-            below = _below_diag(posk, d2, quant16)
-            o1 = jnp.sum(jnp.where(winner, lanes3, 0), keepdims=True
-                         ).reshape(1, 1)
-            piv = jnp.where(pivlanes == s0 + jc,
-                            jax.lax.shift_right_logical(cpk, jnp.int32(1)),
-                            piv)
-            olog = jnp.where(pivlanes == s0 + jc, o1, olog)
-            olist = jnp.where(wlanes == jc, o1, olist)
-            mult3 = jnp.where(below, colv3 / safe, 0.0)        # (8, ml)
-            mbuf = jnp.where(wrows3 == jc, mult3[None], mbuf)
-            if "elim" in stub:  # timing-attribution stub (results WRONG)
-                return st, mbuf, olist, posk, piv, olog
-            # in-strip elimination: the winner row's value in every strip
-            # column at once (one nonzero per sum — exact in any order)
-            ucol = jnp.sum(
-                jnp.sum(jnp.where(winner[None], st, 0.0), axis=2,
-                        keepdims=True),
-                axis=1, keepdims=True,
-            )                                                   # (W, 1, 1)
-            ucol = jnp.where(wrows3 > jc, ucol, 0.0)
-            st = st - ucol * mult3[None]
-            return st, mbuf, olist, posk, piv, olog
-
-        carry = (st, mbuf, olist, posk, piv, olog)
-        for jc in range(_W):
-            carry = col_body(jc, carry)
-        st, mbuf, olist, posk, piv, olog = carry
-        t_ref[:, pl.ds(s0, _W), :] = jnp.transpose(st, (1, 0, 2)).astype(dt)
-
-        # ---- deferred rank-W update of all future strips (MXU) ------------
-        mq_s = jnp.transpose(mbuf.astype(dt), (1, 0, 2))        # (8, W, ml)
+    def deferred_updates(mq_s, olist, s):
+        """Rank-W MXU update of all future strips from this strip's
+        multipliers (S-major (8, W, ml) ``mq_s``) and pivot lanes."""
         sel_s = (
             jnp.swapaxes(olist, 0, 1)[None] == lanes3[:, None, :]
         ).astype(dt)                                             # (8, W, ml)
@@ -537,10 +485,124 @@ def _strip_pivot_kernel_gm(
 
         if "defer" not in stub:  # stub: timing attribution (results WRONG)
             jax.lax.fori_loop(s + 1, nstrips, upd_body, 0)
+
+    def search_or_stub(colv3, posk, d2):
+        if "search" in stub:  # stub: diagonal pivot, no reduce (WRONG)
+            winner = posk == ((jnp.int32(131070) - d2) if quant16 else d2)
+            cpk = jnp.zeros((1, 1), jnp.int32) + d2
+            safe = jnp.ones((1, 1), f32)
+            return winner, posk, cpk, safe
+        return _search_column(colv3, posk, d2, quant16)
+
+    def strip_body(s, carry0):
+        posk, piv, olog = carry0
+        s0 = pl.multiple_of(s * _W, _W)
+        # C-major working strip: st[jc] = column jc's values over (8, ml)
+        st = jnp.transpose(
+            t_ref[:, pl.ds(s0, _W), :].astype(f32), (1, 0, 2)
+        )
+        mbuf = jnp.zeros((_W, 8, ml), f32)
+        olist = jnp.zeros((1, _W), jnp.int32)
+
+        def col_body(jc, carry):
+            st, mbuf, olist, posk, piv, olog = carry
+            d2 = 2 * (off + s0 + jc)
+            colv3 = st[jc]                             # free tile select
+            winner, posk, cpk, safe = search_or_stub(colv3, posk, d2)
+            below = _below_diag(posk, d2, quant16)
+            o1 = jnp.sum(jnp.where(winner, lanes3, 0), keepdims=True
+                         ).reshape(1, 1)
+            piv = jnp.where(pivlanes == s0 + jc,
+                            jax.lax.shift_right_logical(cpk, jnp.int32(1)),
+                            piv)
+            olog = jnp.where(pivlanes == s0 + jc, o1, olog)
+            olist = jnp.where(wlanes == jc, o1, olist)
+            mult3 = jnp.where(below, colv3 / safe, 0.0)        # (8, ml)
+            mbuf = jnp.where(wrows3 == jc, mult3[None], mbuf)
+            if "elim" in stub:  # timing-attribution stub (results WRONG)
+                return st, mbuf, olist, posk, piv, olog
+            # in-strip elimination: the winner row's value in every strip
+            # column at once (one nonzero per sum — exact in any order)
+            ucol = jnp.sum(
+                jnp.sum(jnp.where(winner[None], st, 0.0), axis=2,
+                        keepdims=True),
+                axis=1, keepdims=True,
+            )                                                   # (W, 1, 1)
+            ucol = jnp.where(wrows3 > jc, ucol, 0.0)
+            st = st - ucol * mult3[None]
+            return st, mbuf, olist, posk, piv, olog
+
+        carry = (st, mbuf, olist, posk, piv, olog)
+        for jc in range(_W):
+            carry = col_body(jc, carry)
+        st, mbuf, olist, posk, piv, olog = carry
+        t_ref[:, pl.ds(s0, _W), :] = jnp.transpose(st, (1, 0, 2)).astype(dt)
+        deferred_updates(jnp.transpose(mbuf.astype(dt), (1, 0, 2)), olist, s)
+        return posk, piv, olog
+
+    def strip_body_v2(s, carry0):
+        """S-major strip body (round 4, ``MPF_A1_V2``): the strip stays in
+        its (8, W, ml) storage layout — column jc is the free dim-1 slice
+        ``st[:, jc, :]`` (no per-strip C-major transposes) — and the
+        in-strip elimination's winner-row extraction runs as ONE exact
+        one-hot MXU dot per column instead of a (W, 8, ml) masked
+        double-reduce on the VPU (the dominant per-column cost: round-4
+        attribution measured 4.35 us/column total at m=65536, ~1.3 of it
+        this extraction).  Multiplier rows accumulate in a Python list
+        (columns are unrolled) and stack once per strip, replacing the
+        per-column (W, 8, ml) mbuf select.  One-hot extraction under
+        HIGHEST is bit-exact (same argument as ``sel_extract``: exactly
+        one nonzero per partial, bf16x3 recombination exact), so v1/v2 are
+        bit-identical (tested)."""
+        posk, piv, olog = carry0
+        s0 = pl.multiple_of(s * _W, _W)
+        st = t_ref[:, pl.ds(s0, _W), :].astype(f32)    # (8, W, ml) S-major
+        olist = jnp.zeros((1, _W), jnp.int32)
+        mults = []
+        wcol = jax.lax.broadcasted_iota(jnp.int32, (1, _W, 1), 1)
+
+        def col_body(jc, carry):
+            st, olist, posk, piv, olog = carry
+            d2 = 2 * (off + s0 + jc)
+            colv3 = st[:, jc, :]                       # free dim-1 slice
+            winner, posk, cpk, safe = search_or_stub(colv3, posk, d2)
+            below = _below_diag(posk, d2, quant16)
+            o1 = jnp.sum(jnp.where(winner, lanes3, 0), keepdims=True
+                         ).reshape(1, 1)
+            piv = jnp.where(pivlanes == s0 + jc,
+                            jax.lax.shift_right_logical(cpk, jnp.int32(1)),
+                            piv)
+            olog = jnp.where(pivlanes == s0 + jc, o1, olog)
+            olist = jnp.where(wlanes == jc, o1, olist)
+            mult3 = jnp.where(below, colv3 / safe, 0.0)        # (8, ml)
+            mults.append(mult3)
+            if "elim" in stub:  # timing-attribution stub (results WRONG)
+                return st, olist, posk, piv, olog
+            # winner-row values of ALL strip columns: one one-hot MXU dot
+            # (batch s-planes, contract lanes — exactly one nonzero lane
+            # mesh-wide, so the plane sum is exact)
+            oh = winner.astype(f32)[:, None, :]                 # (8, 1, ml)
+            p = jax.lax.dot_general(
+                st, oh, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                                   # (8, W, 1)
+            uvec = jnp.sum(p, axis=0, keepdims=True)            # (1, W, 1)
+            uvec = jnp.where(wcol > jc, uvec, 0.0)
+            st = st - mult3[:, None, :] * uvec
+            return st, olist, posk, piv, olog
+
+        carry = (st, olist, posk, piv, olog)
+        for jc in range(_W):
+            carry = col_body(jc, carry)
+        st, olist, posk, piv, olog = carry
+        t_ref[:, pl.ds(s0, _W), :] = st.astype(dt)
+        mq_s = jnp.stack(mults, axis=1).astype(dt)              # (8, W, ml)
+        deferred_updates(mq_s, olist, s)
         return posk, piv, olog
 
     posk, piv, olog = jax.lax.fori_loop(
-        0, nstrips, strip_body, (posk, piv, olog)
+        0, nstrips, strip_body_v2 if v2 else strip_body, (posk, piv, olog)
     )
     piv_ref[:] = piv
     pos_ref[:] = _posk_final(posk, quant16)
@@ -551,7 +613,7 @@ def _strip_pivot_kernel_gm(
 def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
                        panel_dtype_name: str, interpret: bool = False,
                        quant16_override: bool | None = None,
-                       gm: bool = False, stub: str = ""):
+                       gm: bool = False, stub: str = "", v2: bool = False):
     in_dtype = jnp.dtype(in_dtype_name)
     panel_dtype = jnp.dtype(panel_dtype_name)
     # largest chunk that divides m (the chunk loop is trace-unrolled, so ch
@@ -585,7 +647,7 @@ def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
         chg = ml if ml <= _CHUNK else math.gcd(ml, _CHUNK)
         kernel = functools.partial(
             _strip_pivot_kernel_gm, r=r, m=m, nchunk=m // chg, ch=chg,
-            quant16=quant16, stub=stub,
+            quant16=quant16, stub=stub, v2=v2,
         )
         return pl.pallas_call(
             kernel,
@@ -713,6 +775,7 @@ def strip_panel_pivots(panel, off, pos, panel_dtype=None, interpret=False,
     fn = _build_strip_pivot(
         m, w, r, panel.dtype.name, panel_dtype.name, interpret, _quant16, gm,
         os.environ.get("MPF_A1_STUB", ""),  # timing attribution ONLY
+        gm and os.environ.get("MPF_A1_V2", "0") == "1",
     )
     if gm:
         # group-major kernel: pos crosses the boundary as the (8, ml)

@@ -562,3 +562,30 @@ def test_trailing_gemm_sub_ncols_wide_kk():
         np.testing.assert_array_equal(out[:, :ko], ad[:, :ko])
         np.testing.assert_array_equal(
             out[:, ko + ncols:], ad[:, ko + ncols:])
+
+
+@pytest.mark.parametrize("pdt", [jnp.bfloat16, jnp.float32])
+def test_strip_pivots_v2_bitexact(pdt, monkeypatch):
+    """MPF_A1_V2 (S-major strip body + one-hot MXU winner-row extraction,
+    round 4) must be BIT-identical to the v1 C-major body: identical
+    pivots, position maps, and glist on a pivot-heavy panel."""
+    from mpf_tpu.ops.panel_strip import strip_panel_pivots
+
+    rng = np.random.default_rng(42)
+    m, bc, r = 1024, 128, 32  # m % 1024 == 0 -> group-major kernel
+    slab = jnp.asarray(rng.standard_normal((m, bc)), jnp.float32)
+    pos0 = jnp.arange(m, dtype=jnp.int32)
+    outs = {}
+    for v2 in ("0", "1"):
+        monkeypatch.setenv("MPF_A1_V2", v2)
+        outs[v2] = jax.tree.map(
+            np.asarray,
+            strip_panel_pivots(slab, 0, pos0, panel_dtype=pdt, jj0=32, r=r,
+                               interpret=True),
+        )
+    for a, b in zip(outs["0"], outs["1"]):
+        np.testing.assert_array_equal(a, b)
+    # and v2 vs the jnp reference semantics through the same entry used by
+    # the exact-match test: pivots must be a valid permutation prefix
+    piv = outs["1"][0]
+    assert (piv >= 32).all() and len(set(piv.tolist())) == r
