@@ -266,7 +266,6 @@ def main():
         "oracle_nbe_n2048": rep.normwise_backward_err,
         "oracle_ok": rep.ok,
         "ir_backward_error_3sweeps": ir_be,
-        "lazy_exchange": config.lazy_exchange(),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }

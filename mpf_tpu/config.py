@@ -46,29 +46,6 @@ def combined_exchange() -> bool:
     return os.environ.get("MPF_XCHG", "combined") != "split"
 
 
-def lazy_exchange() -> bool:
-    """``MPF_LAZY``: lazy left swaps (ScaLAPACK's deferred-left-swap
-    option).  Each fused block column's physical row exchange covers only
-    the column suffix right of the current width quantum; the skipped
-    swaps over already-factored L columns are applied once per sealed
-    column segment at the end (one staged streaming repermutation,
-    `ops/exchange.py:permute_rows_window`), halving average exchanged
-    BYTES on pivot-heavy inputs.
-
-    Default ``auto`` = **off**: the 32k chip A/B (STATUS.md) showed the
-    exchange is window-read ROUND-TRIP-bound, not byte-bound — narrower
-    windows saved little while the fixup added its own round trips
-    (hpl 504.6 vs 466.7 ms, uniform 631.2 vs 532.4).  The implementation
-    is correct (bit-identical, tested) and kept env-gated for round-4
-    experiments that batch window round trips.  ``MPF_LAZY=1`` enables."""
-    env = os.environ.get("MPF_LAZY", "auto")
-    if env == "0":
-        return False
-    if env == "1":
-        return True
-    return False
-
-
 def lookahead() -> bool:
     """``MPF_LOOKAHEAD``: one-deep pipelined block columns (round 4).  The
     trailing GEMM of block column k is split narrow/wide; panel k+1 is

@@ -229,22 +229,6 @@ def _pad_quantum(n: int) -> int:
     return _PAD_QUANTUM * (2 if n > 32768 else 1)
 
 
-def _width_quantum(n: int) -> int:
-    """Lazy-left-swap width quantum: block column k's physical exchange
-    covers columns [floor(k/qw)*qw, n).  Coarse enough that the per-suffix
-    `rows_exchange` kernel instances stay bounded (<= 8 per factorization —
-    each distinct suffix width is a compiled instance, and the n=32768
-    driver already brushed the 2 GB executable-serialization limit), 4096-
-    aligned so every segment start is lane/granule-aligned.  ``MPF_QW``
-    overrides (tests use small quanta at small n)."""
-    import os
-
-    env = os.environ.get("MPF_QW", "")
-    if env:
-        return int(env)
-    return -(-max(n // 8, 4096) // 4096) * 4096
-
-
 def _fused_ok(n: int, k: int, bc: int, r: int, policy, pivot, panel_kernel) -> bool:
     """Gate for the fused virtual-pivoting block-column path (round 2)."""
     if not (pivot and panel_kernel is None and config.use_pallas()):
@@ -572,7 +556,7 @@ def _lookahead_factorize(a, r, policy, fprec, block, ipiv, info, perm_total,
 
     Caller guarantees: every block column passes `_fused_ok`, >= 2 block
     columns, n/block/bc aligned for `gemm_trailing`'s tile schedule
-    (1024 compiled / 128 interpret), combined exchange on, lazy off,
+    (1024 compiled / 128 interpret), combined exchange on,
     superblocking off."""
     from mpf_tpu.ops.exchange import rows_exchange
     from mpf_tpu.ops.gemmx import gemm_trailing
@@ -695,31 +679,12 @@ def mpf_factorize_traced(
     info = jnp.int32(0)
     perm_total = _iota(n)  # composed row map: lu[i] = a_orig[perm_total[i]]
 
-    # Lazy left swaps (round 4): defer the exchange of already-factored L
-    # columns left of the current width quantum; repermute each sealed
-    # column segment once at the end.  Valid only when EVERY block column
-    # takes the fused path (the masked fallback's LASWP is full-width).
-    lazy = (
-        pivot
-        and config.lazy_exchange()
-        and config.combined_exchange()
-        and not config.ablate("exchange")
-        and config.use_pallas()
-    )
-    if lazy:
-        qw = _width_quantum(n)
-        lazy = 0 < qw < n and qw % 128 == 0 and all(
-            _fused_ok(n, k, min(block, n - k), r, policy, pivot, panel_kernel)
-            for k in range(0, n, block)
-            if n - k > 1
-        )
     # One-deep lookahead (round 4): pipelined panel/exchange/GEMM order.
     # Valid only when EVERY block column takes the fused path and the
     # shapes satisfy `gemm_trailing`'s tile alignment.
     looka = (
         pivot
         and (config.lookahead() if lookahead is None else lookahead)
-        and not lazy
         and S is None
         and config.combined_exchange()
         and not config.ablate("slabio")
@@ -744,8 +709,6 @@ def mpf_factorize_traced(
             a, r, policy, fprec, block, ipiv, info, perm_total, interp
         )
 
-    snaps = []  # sealed-segment perm_total snapshots (trace-time unrolled)
-
     for k in range(0, n, block):
         bc = min(block, n - k)
         if n - k <= 1:
@@ -767,7 +730,6 @@ def mpf_factorize_traced(
             # band occupant (swap chains always bottom out in the band), so
             # its values come from a contiguous slice and only a bounded
             # scatter (cheap, in-place) is needed.
-            ws = (k // qw) * qw if lazy else 0  # lazy-left-swap column start
             if not config.ablate("exchange"):
                 kon, interp = config.kernels_on()
                 if kon:
@@ -790,7 +752,7 @@ def mpf_factorize_traced(
                         from mpf_tpu.ops.exchange import rows_exchange
 
                         a, pivrows = rows_exchange(a, k, glist_b, dests_b,
-                                                   ws=ws, interpret=interp)
+                                                   interpret=interp)
                     else:
                         from mpf_tpu.ops.panel_fused import (
                             rows_gather,
@@ -800,14 +762,14 @@ def mpf_factorize_traced(
                         pivrows = rows_gather(a, glist_b, interpret=interp)
                         a = rows_scatter_from_band(a, k, dests_b,
                                                    interpret=interp)
-                    a = jax.lax.dynamic_update_slice(a, pivrows, (k, ws))
+                    a = jax.lax.dynamic_update_slice(a, pivrows, (k, 0))
                 else:
                     pivrows = jax.lax.optimization_barrier(
                         jnp.take(a, glist_b, axis=0)
-                    )[:, ws:]
-                    band = jax.lax.optimization_barrier(a[k : k + bc, ws:])
-                    a = jax.lax.dynamic_update_slice(a, pivrows, (k, ws))
-                    a = a.at[dests_b, ws:].set(band)
+                    )
+                    band = jax.lax.optimization_barrier(a[k : k + bc, :])
+                    a = jax.lax.dynamic_update_slice(a, pivrows, (k, 0))
+                    a = a.at[dests_b, :].set(band)
             # the finished diagonal/U12 rows of the block column
             a = jax.lax.dynamic_update_slice(a, u_all, (k, k))
             # compose this block's row map boundedly: only the band and the
@@ -863,39 +825,6 @@ def mpf_factorize_traced(
                 s0 = sb_end - S
                 a = _trailing_update(
                     a, s0, S, n, policy, fprec, None, r, u12_block=block
-                )
-
-        if lazy and k + bc < n:
-            # segment j = columns [j*qw, (j+1)*qw) is SEALED once the next
-            # block column's exchange no longer covers it (k' >= (j+1)*qw):
-            # its values are final, and it misses exactly the exchanges of
-            # block columns >= (j+1)*qw.  Snapshot the composed row map at
-            # the seal; the fixup below applies inv(snapshot) o final.
-            # Segments sealed by the LAST block column need no fixup
-            # (snapshot == final map -> identity), hence k + bc < n.
-            while (len(snaps) + 1) * qw <= k + bc:
-                snaps.append(perm_total)
-
-    if lazy and snaps:
-        on_tpu = config.use_pallas() and jax.default_backend() == "tpu"
-        stg = None
-        if on_tpu:
-            from mpf_tpu.ops.exchange import _PERM_CHUNK, permute_rows_window
-
-            npad = -(-n // _PERM_CHUNK) * _PERM_CHUNK
-            stg = jnp.zeros((npad, 1, qw), jnp.float32)  # shared staging
-        for j, snap in enumerate(snaps):
-            # remaining permutation for segment j: phys[i] = orig[snap[i]],
-            # true[i] = orig[perm_total[i]]  =>  true = phys[rel] with
-            # rel = snap^{-1}(perm_total)
-            inv = jnp.zeros((n,), jnp.int32).at[snap].set(_iota(n))
-            rel = jnp.take(inv, perm_total)
-            if on_tpu:
-                a, stg = permute_rows_window(a, rel, j * qw, qw, stg=stg)
-            else:
-                seg = jax.lax.dynamic_slice(a, (0, j * qw), (n, qw))
-                a = jax.lax.dynamic_update_slice(
-                    a, jnp.take(seg, rel, axis=0), (0, j * qw)
                 )
 
     return MPFResult(lu=a, ipiv=ipiv, info=info, perm=perm_total)

@@ -90,7 +90,7 @@ def _rows_exchange_kernel(
     nxw_ref, kmeta_ref,
     a_in_ref, a_ref, piv_ref, stg_ref,
     btile, wbuf, vbuf, stile, pend, wps, sems,
-    *, nr: int, g: int, ws: int, w: int, xsel: str = "masked",
+    *, nr: int, g: int, w: int, xsel: str = "masked",
 ):
     """See module docstring.  Scalar-prefetch layout:
 
@@ -124,10 +124,7 @@ def _rows_exchange_kernel(
     n1 = kmeta_ref[1]
     n2 = kmeta_ref[2]
     nd = kmeta_ref[3]  # active (out-of-band) dest count = staged rows used
-    # lazy-left-swap mode (round 4): only the column suffix [ws, ws+w) of
-    # the matrix is exchanged; ws is static (one kernel instance per
-    # quantized suffix width), so the column index bakes into the DMAs
-    ci = slice(None) if ws == 0 else pl.ds(ws, w)
+    ci = slice(None)
     grows = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
     srows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
 
@@ -361,12 +358,12 @@ def _rows_exchange_kernel(
 
 
 @functools.lru_cache(maxsize=64)
-def _build_rows_exchange(n: int, wfull: int, ws: int, nr: int,
+def _build_rows_exchange(n: int, wfull: int, nr: int,
                          dtype_name: str, interpret: bool = False,
                          xsel: str = "masked"):
     dt = jnp.dtype(dtype_name)
     g = _granule(dt)
-    w = wfull - ws  # exchanged column suffix (lazy left swaps, round 4)
+    w = wfull
     nr8 = -(-nr // 8) * 8
     # Single-ROW staging buffers are always fp32: a (1, w) bf16 ref is
     # sublane-padded to 2 under Mosaic's (2, 128) bf16 tiling, and slicing
@@ -377,7 +374,7 @@ def _build_rows_exchange(n: int, wfull: int, ws: int, nr: int,
     # the kernel stays bit-identical.  Window/band tiles (g rows, aligned)
     # keep the slab dtype.
     sdt = jnp.dtype(jnp.float32)
-    kernel = functools.partial(_rows_exchange_kernel, nr=nr, g=g, ws=ws, w=w,
+    kernel = functools.partial(_rows_exchange_kernel, nr=nr, g=g, w=w,
                                xsel=xsel)
     return pl.pallas_call(
         kernel,
@@ -433,12 +430,12 @@ def _next_distinct(wid):
     return jnp.where(nx < 0, jnp.int32(-1), nx)
 
 
-def rows_exchange(a, k, glist, dests, ws: int = 0, interpret=False):
+def rows_exchange(a, k, glist, dests, interpret=False):
     """One-sweep bounded row exchange.  Returns ``(a', pivrows)`` where
 
-      * ``pivrows[j] = a[glist[j], ws:]`` (values of the ORIGINAL ``a``) —
-        the caller writes it over the band ``a'[k:k+nr, ws:]``, and
-      * ``a'[dests[i], ws:] = a[k + i, ws:]`` for every i whose destination
+      * ``pivrows[j] = a[glist[j], :]`` (values of the ORIGINAL ``a``) —
+        the caller writes it over the band ``a'[k:k+nr, :]``, and
+      * ``a'[dests[i], :] = a[k + i, :]`` for every i whose destination
         lies outside the band [k, k+nr) (in-band destinations are covered
         by the band write; swap chains bottom out in the band, so they
         carry identical values).
@@ -449,15 +446,12 @@ def rows_exchange(a, k, glist, dests, ws: int = 0, interpret=False):
     (uniform-corpus) inputs the windows are nearly all distinct and the
     double read was the dominant exchange cost.
 
-    ``ws`` (static, lane-aligned) restricts the exchange to the column
-    suffix ``[ws, n)`` — the lazy-left-swap mode (round 4, ScaLAPACK's
-    deferred left swaps): the driver skips the already-factored L columns
-    left of the current width quantum and repermutes them once at the end
-    (:func:`permute_rows_window`), halving average exchanged bytes on
-    pivot-heavy inputs.
+    (The round-3/4 lazy-left-swap variant — a column-suffix exchange plus a
+    deferred per-segment repermutation — was deleted after losing its chip
+    A/Bs; see STATUS.md round 4 and git history for the implementation.)
     """
     n, wfull = a.shape
-    w = wfull - ws
+    w = wfull
     g = _granule(a.dtype)
     nr = int(glist.shape[0])
     k = jnp.asarray(k, jnp.int32)
@@ -513,380 +507,7 @@ def rows_exchange(a, k, glist, dests, ws: int = 0, interpret=False):
 
     kmeta = jnp.stack([k, n1, n2, act_d.sum()]).astype(jnp.int32)
     a2, piv3, _ = _build_rows_exchange(
-        n, wfull, ws, nr, a.dtype.name, interpret, xsel_mode()
+        n, wfull, nr, a.dtype.name, interpret, xsel_mode()
     )(r1s, pay1, t1, nxt1, row2, pay2, t2, nxw, kmeta, a)
     # pivrows staging is fp32 (see _build_rows_exchange); exact for bf16
     return a2, piv3.reshape(nr, w).astype(a.dtype)
-
-
-# ---------------------------------------------------------------------------
-# Deferred left-swap fixup (round 4): apply the composed permutation the lazy
-# exchanges skipped over a sealed column segment, in one staged two-phase
-# streaming pass instead of per-block-column window RMWs.
-# ---------------------------------------------------------------------------
-
-_PERM_CHUNK = 2048  # moved rows per kernel invocation (scalar-prefetch SMEM)
-
-
-def _perm_stage_kernel(src_ref, slot_ref, nxw_ref, cmeta_ref,
-                       a_ref, stg_in_ref, stg_ref,
-                       wtile, vbuf, pend, sems, *, g: int, w: int):
-    """Phase A of :func:`permute_rows_window`: extract this chunk's moved
-    source rows (sorted by granule window — each window read once, double
-    buffered via the ``nxw`` prefetch schedule) from the segment columns
-    [cs, cs+w) and write each as an fp32 (1, w) row to ``stg[slot]`` (its
-    destination rank).  No writes to ``a`` — every chunk's extraction
-    happens before any overlay, so later chunks never read overwritten
-    sources.  cmeta: [cs, c1]."""
-    f32 = jnp.float32
-    cs = pl.multiple_of(cmeta_ref[0], 128)
-    c1 = cmeta_ref[1]
-    grows = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
-
-    def win_read(gr, slot):
-        return pltpu.make_async_copy(
-            a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), pl.ds(cs, w)],
-            wtile.at[slot], sems.at[4 + slot],
-        )
-
-    def row_write(slot, pos):
-        return pltpu.make_async_copy(
-            vbuf.at[slot], stg_ref.at[pos], sems.at[slot]
-        )
-
-    def body(e, carry):
-        last, word, wcnt = carry
-        s = src_ref[e]
-        gr = s // g
-        switch = (gr != last) | (word < 0)
-        word = word + switch.astype(jnp.int32)
-        cur = word % 2
-
-        @pl.when(switch)
-        def _():
-            @pl.when(word == 0)
-            def _():  # first window: nobody prefetched it
-                win_read(gr, cur).start()
-
-            win_read(gr, cur).wait()
-            nw = nxw_ref[e]
-
-            @pl.when(nw >= 0)
-            def _():  # prefetch the next distinct window
-                win_read(nw, 1 - cur).start()
-
-        val = jnp.sum(
-            jnp.where(grows == s % g, wtile[cur].astype(f32), 0.0),
-            axis=0, keepdims=True,
-        )
-        slot4 = wcnt % 4
-
-        @pl.when(wcnt >= 4)
-        def _():
-            row_write(slot4, pend[slot4, 0]).wait()
-
-        vbuf[slot4] = val
-        row_write(slot4, slot_ref[e]).start()
-        pend[slot4, 0] = slot_ref[e]
-        return jnp.where(switch, gr, last), word, wcnt + 1
-
-    _, _, wcnt = jax.lax.fori_loop(
-        0, c1, body, (jnp.int32(-1), jnp.int32(-1), jnp.int32(0))
-    )
-    for s4 in range(4):
-        @pl.when(s4 < wcnt)
-        def _():
-            row_write(s4, pend[s4, 0]).wait()
-
-
-def _perm_overlay_kernel(dst_ref, nxw_ref, cmeta_ref,
-                         stg_ref, a_in_ref, a_ref,
-                         wbuf, stile, wps, sems, *, g: int, w: int):
-    """Phase B of :func:`permute_rows_window`: RMW the granule windows
-    holding this chunk's moved destinations (ascending — each window
-    visited once per chunk; 4-slot ring with read-ahead + write-behind,
-    same discipline as `_rows_exchange_kernel` phase 2) and overlay the
-    staged rows, streamed sequentially in (8, 1, w) batches from global
-    slot base ``cmeta[2]``.  cmeta: [cs, c1, sbase]."""
-    f32 = jnp.float32
-    cs = pl.multiple_of(cmeta_ref[0], 128)
-    c1 = cmeta_ref[1]
-    sbase = cmeta_ref[2]
-    grows = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
-    srows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
-
-    def win_read(gr, slot):
-        return pltpu.make_async_copy(
-            a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), pl.ds(cs, w)],
-            wbuf.at[slot], sems.at[4 + slot],
-        )
-
-    def win_write(gr, slot):
-        return pltpu.make_async_copy(
-            wbuf.at[slot],
-            a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), pl.ds(cs, w)],
-            sems.at[8 + slot],
-        )
-
-    def wps_wait(slot):
-        @pl.when(wps[slot, 0] == 1)
-        def _():
-            win_write(wps[slot, 1], slot).wait()
-            wps[slot, 0] = 0
-
-    def stile_read(t, slot):
-        return pltpu.make_async_copy(
-            stg_ref.at[pl.ds(pl.multiple_of(sbase + t * 8, 8), 8)],
-            stile.at[slot], sems.at[14 + slot],
-        )
-
-    for s in range(4):
-        wps[s, 0] = 0
-
-    def body(e, carry):
-        last_gr, word, scnt = carry
-        grow = dst_ref[e]
-        gr = grow // g
-        switch = (gr != last_gr) | (word < 0)
-        word = word + switch.astype(jnp.int32)
-        cur = word % 4
-
-        @pl.when(switch)
-        def _():
-            wps_wait(cur)  # slot reuse: ordinal word-4's write must land
-
-            @pl.when(word == 0)
-            def _():
-                win_read(gr, cur).start()
-
-            win_read(gr, cur).wait()
-            prev = (word + 3) % 4
-
-            @pl.when(word > 0)
-            def _():  # previous window is always dirty — close it
-                wps_wait(prev)
-                win_write(last_gr, prev).start()
-                wps[prev, 0] = 1
-                wps[prev, 1] = last_gr
-
-            nw = nxw_ref[e]
-
-            @pl.when(nw >= 0)
-            def _():
-                nslot = (word + 1) % 4
-                wps_wait(nslot)
-                win_read(nw, nslot).start()
-
-        last_gr = jnp.where(switch, gr, last_gr)
-        t8 = scnt // 8
-        sl8 = t8 % 2
-
-        @pl.when(scnt % 8 == 0)
-        def _():  # staged batches double-buffered; prefetch gated on the
-            # DYNAMIC count c1 (see the staged-DMA-leak note in
-            # `_rows_exchange_kernel`)
-            @pl.when(scnt == 0)
-            def _():
-                stile_read(0, 0).start()
-
-            stile_read(t8, sl8).wait()
-
-            @pl.when((t8 + 1) * 8 < c1)
-            def _():
-                stile_read(t8 + 1, 1 - sl8).start()
-
-        v = jnp.sum(
-            jnp.where(srows8 == scnt % 8, stile[sl8].astype(f32), 0.0),
-            axis=0,
-        )  # (1, w)
-        wbuf[cur] = jnp.where(
-            grows == grow % g, v.astype(wbuf.dtype), wbuf[cur]
-        )
-        return last_gr, word, scnt + 1
-
-    last_gr, word, _ = jax.lax.fori_loop(
-        0, c1, body, (jnp.int32(-1), jnp.int32(-1), jnp.int32(0))
-    )
-
-    @pl.when(word >= 0)
-    def _():  # close the final window
-        cur = word % 4
-        wps_wait(cur)
-        win_write(last_gr, cur).start()
-        wps[cur, 0] = 1
-        wps[cur, 1] = last_gr
-
-    for s in range(4):
-        wps_wait(s)
-
-
-@functools.lru_cache(maxsize=16)
-def _build_perm_stage(n: int, wfull: int, w: int, npad: int,
-                      dtype_name: str, interpret: bool = False):
-    dt = jnp.dtype(dtype_name)
-    g = _granule(dt)
-    kernel = functools.partial(_perm_stage_kernel, g=g, w=w)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,  # src, slot, nxw, cmeta
-            grid=(),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # a (n, wfull), read-only
-                pl.BlockSpec(memory_space=pl.ANY),  # stg (npad, 1, w)
-            ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),  # stg (aliased)
-            scratch_shapes=[
-                pltpu.VMEM((2, g, w), dt),       # window tiles
-                pltpu.VMEM((4, 1, w), jnp.float32),  # outgoing row ring
-                pltpu.SMEM((4, 1), jnp.int32),   # pending slot per vbuf entry
-                pltpu.SemaphoreType.DMA((8,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((npad, 1, w), jnp.float32),
-        input_output_aliases={5: 0},
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(min(
-                2 * g * w * dt.itemsize + 8 * w * 4 + (24 << 20), 120 << 20
-            )),
-            has_side_effects=True,
-        ),
-        interpret=interpret,
-    )
-
-
-@functools.lru_cache(maxsize=16)
-def _build_perm_overlay(n: int, wfull: int, w: int, npad: int,
-                        dtype_name: str, interpret: bool = False):
-    dt = jnp.dtype(dtype_name)
-    g = _granule(dt)
-    kernel = functools.partial(_perm_overlay_kernel, g=g, w=w)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,  # dst, nxw, cmeta
-            grid=(),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # stg (npad, 1, w)
-                pl.BlockSpec(memory_space=pl.ANY),  # a (n, wfull)
-            ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),  # a (aliased)
-            scratch_shapes=[
-                pltpu.VMEM((4, g, w), dt),           # window ring
-                pltpu.VMEM((2, 8, 1, w), jnp.float32),  # staged batches
-                pltpu.SMEM((4, 2), jnp.int32),       # pending (flag, win)
-                pltpu.SemaphoreType.DMA((16,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, wfull), dt),
-        input_output_aliases={4: 0},
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(min(
-                4 * g * w * dt.itemsize + 24 * w * 4 + (24 << 20), 120 << 20
-            )),
-            has_side_effects=True,
-        ),
-        interpret=interpret,
-    )
-
-
-def permute_rows_window(a, rel, cs: int, q: int, stg=None, interpret=False):
-    """In-place row repermutation of the column segment [cs, cs+q):
-    ``a'[i, cs:cs+q] = a[rel[i], cs:cs+q]`` for a permutation ``rel`` with
-    ``rel[i] == i`` on rows that do not move.
-
-    The lazy-left-swap fixup (round 4): a sealed column segment misses the
-    row exchanges of every later block column; their composition is applied
-    here in one staged two-phase pass — phase A streams the moved SOURCE
-    windows once (sorted) extracting each moved row to an fp32 staging
-    buffer at its destination rank; phase B streams the moved DEST windows
-    once (ascending) overlaying from the staged stream.  Work scales with
-    rows that actually move (zero on diagonally dominant inputs); chunked
-    at ``_PERM_CHUNK`` moved rows per kernel launch for the scalar-prefetch
-    SMEM bound, phase A of every chunk completing before any overlay (a
-    moved source must never read an already-overlaid row).
-
-    ``stg``: optional (ceil(n/chunk)*chunk, 1, q) fp32 staging buffer to
-    reuse across calls (the driver threads ONE through all segments —
-    zero-initializing a fresh multi-GB buffer per segment is a full HBM
-    write pass each).  Returns ``(a', stg')`` when given, else ``a'``.
-    """
-    n, wfull = a.shape
-    g = _granule(a.dtype)
-    i = jnp.arange(n, dtype=jnp.int32)
-    rel = rel.astype(jnp.int32)
-    moved = rel != i
-    n1 = moved.sum().astype(jnp.int32)
-
-    C = _PERM_CHUNK
-    nchunks = -(-n // C)
-    npad = nchunks * C
-
-    # SORT-FREE schedules (the first cut ran two (n,) argsorts per segment —
-    # ~the whole exchange saving at n=32768).  Key fact: ``rel`` is identity
-    # off the moved set, so the moved SOURCE set == the moved DEST set; the
-    # ascending moved-row compaction therefore serves BOTH phases:
-    #   dst[e]  = e-th moved row ascending       (phase-B dest order)
-    #   src[e]  = dst[e]                         (ascending == window-grouped)
-    #   slot[e] = dest rank of the row RECEIVING source dst[e]
-    #           = movedrank[relinv[dst[e]]]
-    # One cumsum + two bounded scatters + two takes — no sorts.
-    movedrank = jnp.cumsum(moved.astype(jnp.int32)) - 1
-    dst = jnp.zeros((npad,), jnp.int32).at[
-        jnp.where(moved, movedrank, npad)  # unmoved -> OOB, dropped
-    ].set(i, mode="drop")
-    relinv = jnp.zeros((n,), jnp.int32).at[rel].set(i)
-    src = dst
-    slot = jnp.where(
-        jnp.arange(npad) < n1,
-        jnp.take(movedrank, jnp.take(relinv, dst)),
-        0,
-    )
-
-    stage = _build_perm_stage(n, wfull, q, npad, a.dtype.name, interpret)
-    overlay = _build_perm_overlay(n, wfull, q, npad, a.dtype.name, interpret)
-    ipos = jnp.arange(C, dtype=jnp.int32)
-    cs_i = jnp.int32(cs)
-
-    ret_stg = stg is not None
-    if stg is None:
-        stg = jnp.zeros((npad, 1, q), jnp.float32)
-    assert stg.shape == (npad, 1, q) and stg.dtype == jnp.float32, stg
-
-    def do(ops):
-        a, stg0 = ops
-
-        def stage_body(c, stg):
-            c1 = jnp.clip(n1 - c * C, 0, C)
-
-            def run(stg):
-                sc = jax.lax.dynamic_slice(src, (c * C,), (C,))
-                sl = jax.lax.dynamic_slice(slot, (c * C,), (C,))
-                wid = jnp.where(ipos < c1, sc // g, jnp.int32(-2))
-                nxw = _next_distinct(wid)
-                cmeta = jnp.stack([cs_i, c1]).astype(jnp.int32)
-                return stage(sc, sl, nxw, cmeta, a, stg)
-
-            # empty chunks (n1 < c*C) skip the kernel launch entirely
-            # (ADVICE r3: every chunk launched as a no-op kernel before)
-            return jax.lax.cond(c1 > 0, run, lambda stg: stg, stg)
-
-        stg = jax.lax.fori_loop(0, nchunks, stage_body, stg0)
-
-        def overlay_body(c, a):
-            c1 = jnp.clip(n1 - c * C, 0, C)
-
-            def run(a):
-                db = jax.lax.dynamic_slice(dst, (c * C,), (C,))
-                wid = jnp.where(ipos < c1, db // g, jnp.int32(-2))
-                nxw = _next_distinct(wid)
-                cmeta = jnp.stack([cs_i, c1, c * C]).astype(jnp.int32)
-                return overlay(db, nxw, cmeta, stg, a)
-
-            return jax.lax.cond(c1 > 0, run, lambda a: a, a)
-
-        return jax.lax.fori_loop(0, nchunks, overlay_body, a), stg
-
-    # skip everything when no row moved (diagonally dominant inputs)
-    a, stg = jax.lax.cond(n1 > 0, do, lambda ops: ops, (a, stg))
-    return (a, stg) if ret_stg else a

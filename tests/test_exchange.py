@@ -119,89 +119,6 @@ def test_rows_exchange_larger_band():
     exp = np.asarray(a, np.float32)[rows]
     np.testing.assert_array_equal(got, exp)
 
-
-# ---------------------------------------------------------------------------
-# Lazy left swaps (round 4): column-suffix exchange + deferred fixup
-# ---------------------------------------------------------------------------
-
-from mpf_tpu.ops.exchange import permute_rows_window
-
-pytestmark = pytest.mark.slow  # interpret-mode Pallas throughout
-
-
-@pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
-@pytest.mark.parametrize("mode", ["uniform", "diag"])
-@pytest.mark.parametrize("ws", [128, 256])
-def test_rows_exchange_column_suffix(dtype, mode, ws):
-    """ws > 0: only columns [ws, n) are exchanged; [0, ws) is untouched."""
-    rng = np.random.default_rng(hash((mode, ws)) % 2**32)
-    n, w, nr, k = 128, 384, 32, 32
-    a = rng.standard_normal((n, w)).astype(dtype)
-    glist, dests, rows = _swap_scenario(rng, n, k, nr, mode)
-
-    a2, piv = rows_exchange(
-        jnp.asarray(a), k, jnp.asarray(glist), jnp.asarray(dests),
-        ws=ws, interpret=True,
-    )
-    assert piv.shape == (nr, w - ws)
-    got = np.asarray(
-        jax.lax.dynamic_update_slice(a2, piv, (k, ws)).astype(jnp.float32)
-    )
-    exp = np.asarray(a, np.float32).copy()
-    exp[:, ws:] = exp[rows][:, ws:]  # suffix permuted, prefix untouched
-    np.testing.assert_array_equal(got, exp)
-
-
-@pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
-@pytest.mark.parametrize("frac", [0.0, 0.1, 1.0])
-def test_permute_rows_window(dtype, frac):
-    """Deferred-fixup kernel: in-place a[:, cs:cs+q] = a_old[rel][:, cs:cs+q]
-    for permutations with a varying moved fraction (0 = identity short
-    circuit, 1 = full shuffle)."""
-    rng = np.random.default_rng(int(frac * 10) + (0 if dtype is np.float32 else 7))
-    n, w, cs, q = 192, 384, 128, 128
-    a = rng.standard_normal((n, w)).astype(dtype)
-    rel = np.arange(n)
-    nm = int(round(frac * n))
-    if nm >= 2:
-        movers = rng.choice(n, size=nm, replace=False)
-        rel[np.sort(movers)] = movers[rng.permutation(nm)]
-        # rel restricted to movers is a permutation of movers; make sure it
-        # actually moves (derangement not required — identity entries fine)
-    a2 = np.asarray(
-        permute_rows_window(
-            jnp.asarray(a), jnp.asarray(rel), cs, q, interpret=True
-        ).astype(jnp.float32)
-    )
-    exp = np.asarray(a, np.float32).copy()
-    exp[:, cs:cs + q] = exp[rel][:, cs:cs + q]
-    np.testing.assert_array_equal(a2, exp)
-
-
-def test_permute_rows_window_chunked():
-    """More moved rows than one _PERM_CHUNK — exercises the chunk loop and
-    the cross-chunk staged-slot bookkeeping."""
-    import mpf_tpu.ops.exchange as X
-
-    old = X._PERM_CHUNK
-    X._PERM_CHUNK = 64
-    try:
-        rng = np.random.default_rng(5)
-        n, w, cs, q = 256, 256, 0, 128
-        a = rng.standard_normal((n, w)).astype(np.float32)
-        rel = rng.permutation(n)
-        a2 = np.asarray(
-            permute_rows_window(
-                jnp.asarray(a), jnp.asarray(rel), cs, q, interpret=True
-            )
-        )
-        exp = a.copy()
-        exp[:, cs:cs + q] = a[rel][:, cs:cs + q]
-        np.testing.assert_array_equal(a2, exp)
-    finally:
-        X._PERM_CHUNK = old
-
-
 @pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
 def test_rows_exchange_xsel_roll_bitexact(dtype, monkeypatch):
     """MPF_XSEL=roll (uniform sublane rotate row extraction, round 4) must
