@@ -162,8 +162,8 @@ def main():
     # uniform-corpus north star (VERDICT r3 item 1): the pivot-heavy corpus
     # (`matrix_generator.cpp:66` uniform values — pivots move on ~every
     # column) at the same size/policy/block; the >= 60% gate must hold here,
-    # not just on the diagonally-dominant HPL-AI corpus.  Shares the jitted
-    # factorizer with the hpl leg (same static config -> no extra compile).
+    # not just on the diagonally-dominant HPL-AI corpus.  make_mpf is
+    # lru-cached, so this leg reuses the hpl leg's jitted factorizer.
     ns_uni_tflops = ns_uni_err = None
     if ns_n and northstar_tflops is not None:
         try:

@@ -614,7 +614,7 @@ def _lookahead_factorize(a, r, policy, fprec, block, ipiv, info, perm_total,
             eager_x = False
         else:
             a, pivrows2 = gemm_trailing(
-                a, l21, u12g, e, e2, xargs=(kn, glist2, dests2, 0),
+                a, l21, u12g, e, e2, xargs=(kn, glist2, dests2),
                 interpret=interp, **tile,
             )
             a = jax.lax.dynamic_update_slice(a, pivrows2, (kn, 0))
@@ -854,6 +854,7 @@ def mpf_factorize(
     )
 
 
+@functools.lru_cache(maxsize=32)
 def make_mpf(
     n: int,
     r: int = 128,
@@ -867,7 +868,13 @@ def make_mpf(
 ):
     """Build a jitted factorizer for a fixed problem size, optionally donating
     the input buffer (in-place factorization like the reference's overwrite of
-    A, `MPF.h:3`)."""
+    A, `MPF.h:3`).  lru-cached: repeated calls with the same config return
+    the SAME jitted callable, so multi-leg harnesses (e.g. bench.py's hpl +
+    uniform north-star pair) don't re-trace/re-compile a fresh closure —
+    jax.jit keys on function identity, and a compile costs ~10 min at the
+    flagship sizes through the tunnel.  (Env knobs read at trace time are
+    therefore frozen at first build for a given config — A/B harnesses must
+    use the explicit arguments, e.g. ``lookahead=``, never env flips.)"""
 
     def fn(a):
         return mpf_factorize_traced(

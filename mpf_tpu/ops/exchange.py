@@ -416,18 +416,84 @@ def _build_rows_exchange(n: int, wfull: int, nr: int,
     )
 
 
-def _next_distinct(wid):
-    """Per entry, the value of the NEXT distinct ``wid`` segment (-1 at the
-    last segment).  ``wid`` must be segment-grouped (sorted) with negative
-    sentinels marking the inactive suffix; negative successors report -1."""
+def _next_chain(wid, depth: int):
+    """Per entry, the values of the next 1..depth distinct ``wid`` segments
+    (-1 past the end).  ``wid`` must be segment-grouped (sorted) with
+    negative sentinels marking the inactive suffix."""
     m = wid.shape[0]
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), wid[1:] != wid[:-1]]
-    )
+    first = jnp.concatenate([jnp.ones((1,), bool), wid[1:] != wid[:-1]])
     sid = jnp.cumsum(first.astype(jnp.int32)) - 1
-    swid = jnp.full((m + 1,), jnp.int32(-1)).at[sid].set(wid)
-    nx = swid[jnp.minimum(sid + 1, m)]
-    return jnp.where(nx < 0, jnp.int32(-1), nx)
+    swid = jnp.full((m + depth,), jnp.int32(-1)).at[sid].set(wid)
+    outs = []
+    for d in range(1, depth + 1):
+        nx = swid[jnp.minimum(sid + d, m + depth - 1)]
+        outs.append(jnp.where(nx < 0, jnp.int32(-1), nx))
+    return outs
+
+
+def build_exchange_schedules(n, k, glist, dests, g,
+                             tile_depth: int = 1, win_depth: int = 1):
+    """Schedules for the combined one-sweep exchange (shared by
+    :func:`rows_exchange` and the fused GEMM+exchange kernel in
+    `ops/gemmx.py`, which asks for deeper tile/window read-ahead chains).
+
+    Returns ``(kmeta, r1s, pay1, t1, tile_chain, row2, pay2, t2,
+    win_chain)`` with ``tile_chain``/``win_chain`` lists of length
+    ``tile_depth``/``win_depth`` (the next 1..depth distinct band tiles /
+    windows per entry).  Layout documented on `_rows_exchange_kernel`."""
+    nr = int(glist.shape[0])
+    k = jnp.asarray(k, jnp.int32)
+    glist = glist.astype(jnp.int32)
+    dests = dests.astype(jnp.int32)
+    j = jnp.arange(nr, dtype=jnp.int32)
+
+    inband_s = (glist >= k) & (glist < k + nr)
+    act_d = (dests < k) | (dests >= k + nr)
+
+    # phase-2 schedule: out-of-band entries sorted by (window, type),
+    # sources first within a window (a position can be source AND dest)
+    big = jnp.int32(2 * n + 2)
+    key = jnp.concatenate([
+        jnp.where(~inband_s, (glist // g) * 2, big),
+        jnp.where(act_d, (dests // g) * 2 + 1, big),
+    ])
+    o2 = jnp.argsort(key, stable=True)
+    row2 = jnp.concatenate([glist, dests])[o2]
+    t2 = (o2 >= nr).astype(jnp.int32)
+    pay2 = jnp.concatenate([j, j])[o2]
+    n2 = ((~inband_s).sum() + act_d.sum()).astype(jnp.int32)
+
+    # staged stream slot of each active dest = its rank among phase-2 dest
+    # entries; map it back onto the band row for the phase-1 extract
+    e2 = jnp.arange(2 * nr, dtype=jnp.int32)
+    drank = jnp.cumsum(t2).astype(jnp.int32) - 1
+    di = jnp.where((t2 == 1) & (e2 < n2), pay2, nr)
+    slot_by_i = (
+        jnp.zeros((nr + 1,), jnp.int32).at[di].set(drank, mode="drop")[:nr]
+    )
+
+    # phase-1 schedule: band rows ascending (sequential tile stream)
+    big1 = jnp.int32(nr + 1)
+    r1 = jnp.concatenate([
+        jnp.where(inband_s, glist - k, big1),
+        jnp.where(act_d, j, big1),
+    ])
+    o1 = jnp.argsort(r1, stable=True)
+    r1s = r1[o1]
+    t1 = jnp.concatenate(
+        [jnp.zeros((nr,), jnp.int32), jnp.ones((nr,), jnp.int32)]
+    )[o1]
+    pay1 = jnp.concatenate([j, slot_by_i])[o1]
+    n1 = (inband_s.sum() + act_d.sum()).astype(jnp.int32)
+
+    # read-prefetch chains: the next 1..depth distinct tiles/windows
+    tile1 = jnp.where(e2 < n1, r1s // g, jnp.int32(-2))
+    tile_chain = _next_chain(tile1, tile_depth)
+    wid2 = jnp.where(e2 < n2, row2 // g, jnp.int32(-2))
+    win_chain = _next_chain(wid2, win_depth)
+
+    kmeta = jnp.stack([k, n1, n2, act_d.sum()]).astype(jnp.int32)
+    return kmeta, r1s, pay1, t1, tile_chain, row2, pay2, t2, win_chain
 
 
 def rows_exchange(a, k, glist, dests, interpret=False):
@@ -454,58 +520,9 @@ def rows_exchange(a, k, glist, dests, interpret=False):
     w = wfull
     g = _granule(a.dtype)
     nr = int(glist.shape[0])
-    k = jnp.asarray(k, jnp.int32)
-    glist = glist.astype(jnp.int32)
-    dests = dests.astype(jnp.int32)
-    j = jnp.arange(nr, dtype=jnp.int32)
-
-    inband_s = (glist >= k) & (glist < k + nr)
-    act_d = (dests < k) | (dests >= k + nr)
-
-    # ---- phase-2 schedule: out-of-band entries sorted by (window, type),
-    # sources first within a window (a position can be source AND dest) ----
-    big = jnp.int32(2 * n + 2)
-    key = jnp.concatenate([
-        jnp.where(~inband_s, (glist // g) * 2, big),
-        jnp.where(act_d, (dests // g) * 2 + 1, big),
-    ])
-    o2 = jnp.argsort(key, stable=True)
-    row2 = jnp.concatenate([glist, dests])[o2]
-    t2 = (o2 >= nr).astype(jnp.int32)
-    pay2 = jnp.concatenate([j, j])[o2]
-    n2 = ((~inband_s).sum() + act_d.sum()).astype(jnp.int32)
-
-    # staged stream slot of each active dest = its rank among phase-2 dest
-    # entries; map it back onto the band row for the phase-1 extract
-    e2 = jnp.arange(2 * nr, dtype=jnp.int32)
-    drank = jnp.cumsum(t2).astype(jnp.int32) - 1
-    di = jnp.where((t2 == 1) & (e2 < n2), pay2, nr)
-    slot_by_i = (
-        jnp.zeros((nr + 1,), jnp.int32).at[di].set(drank, mode="drop")[:nr]
+    kmeta, r1s, pay1, t1, (nxt1,), row2, pay2, t2, (nxw,) = (
+        build_exchange_schedules(n, k, glist, dests, g)
     )
-
-    # ---- phase-1 schedule: band rows ascending (sequential tile stream) --
-    big1 = jnp.int32(nr + 1)
-    r1 = jnp.concatenate([
-        jnp.where(inband_s, glist - k, big1),
-        jnp.where(act_d, j, big1),
-    ])
-    o1 = jnp.argsort(r1, stable=True)
-    r1s = r1[o1]
-    t1 = jnp.concatenate(
-        [jnp.zeros((nr,), jnp.int32), jnp.ones((nr,), jnp.int32)]
-    )[o1]
-    pay1 = jnp.concatenate([j, slot_by_i])[o1]
-    n1 = (inband_s.sum() + act_d.sum()).astype(jnp.int32)
-
-    # ---- read-prefetch schedules: the NEXT distinct tile/window ----------
-    e2 = jnp.arange(2 * nr, dtype=jnp.int32)
-    tile1 = jnp.where(e2 < n1, r1s // g, jnp.int32(-2))
-    nxt1 = _next_distinct(tile1)
-    wid2 = jnp.where(e2 < n2, row2 // g, jnp.int32(-2))
-    nxw = _next_distinct(wid2)
-
-    kmeta = jnp.stack([k, n1, n2, act_d.sum()]).astype(jnp.int32)
     a2, piv3, _ = _build_rows_exchange(
         n, wfull, nr, a.dtype.name, interpret, xsel_mode()
     )(r1s, pay1, t1, nxt1, row2, pay2, t2, nxw, kmeta, a)

@@ -45,7 +45,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mpf_tpu.ops.panel_fused import _granule
-from mpf_tpu.ops.exchange import _row_take, xsel_mode
+from mpf_tpu.ops.exchange import (_row_take, build_exchange_schedules,
+                                  xsel_mode)
 
 _NWIN = 8   # exchange window ring slots (read-ahead 3 + write-behind)
 _XAHEAD = 3  # window read-ahead depth
@@ -57,7 +58,7 @@ def _gemmx_kernel(
     l_ref, u_ref, a_in_ref, a_ref, piv_ref, stg_ref,
     lbuf, ubuf, abuf, xwin, xband, xvbuf, xstile, pend, wps, sems, xsems,
     *, ti: int, t: int, kk: int, ni: int, nj: int, r0: int, c0: int,
-    g: int, ws: int, xw: int, nr: int, hi, fuse_x: bool, xsel: str = "masked",
+    g: int, xw: int, nr: int, hi, fuse_x: bool, xsel: str = "masked",
 ):
     """meta (scalar prefetch): [kb, n1, n2, nd] — exchange band offset and
     active entry counts (schedule layout as in `exchange.rows_exchange`,
@@ -137,9 +138,9 @@ def _gemmx_kernel(
         return pltpu.make_async_copy(abuf.at[slot], a_tile(i, j),
                                       sems.at[12 + slot])
 
-    # ---------------- fused-exchange machinery (columns [ws, ws+xw)) --------
+    # ---------------- fused-exchange machinery (full row width) -------------
     if fuse_x:
-        ci = pl.ds(ws, xw)
+        ci = pl.ds(0, xw)
         grows = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
         srows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
         kb = meta_ref[0]
@@ -355,14 +356,20 @@ def _gemmx_kernel(
             its tile writes have landed (writes lag two steps; entries run
             at the end of a step).  Rows above r0 are immediately free."""
             si = jnp.where(row >= r0, (row - r0) // ti, jnp.int32(-1))
+            # done = (strip's last tile step) + 5: the in-loop wait of step
+            # t's tile write runs at step t+2 ONLY when t <= nsteps-5 (the
+            # wait lives in the `s + 2 < nsteps` prefetch block); entries
+            # gated any earlier could read rows whose write-back DMA is
+            # still in flight.  Strips finishing in the last 4 steps are
+            # only flushed in the epilogue — their entries drain there.
             if pair:
                 sq = si - solo  # pair-region strip index (solo strip is -1)
                 done = (base + (sq // 2) * (2 * nj) + 2 * (nj - 1)
-                        + (sq % 2) + 3)
+                        + (sq % 2) + 5)
                 if solo:
-                    done = jnp.where(si == 0, nj + 2, done)
+                    done = jnp.where(si == 0, nj + 4, done)
             else:
-                done = (si + 1) * nj + 2
+                done = (si + 1) * nj + 4
             return s >= jnp.where(si < 0, jnp.int32(0), done)
 
         def p1_gate_row(e):
@@ -566,7 +573,7 @@ def _auto_tiles(m: int, kk: int, gd) -> tuple[int, int]:
 
 @functools.lru_cache(maxsize=256)
 def _build_gemmx(n: int, r0: int, c0: int, m: int, w: int, kk: int,
-                 ws: int, nr: int, dtype_name: str, gd_name: str,
+                 nr: int, dtype_name: str, gd_name: str,
                  interpret: bool = False, ti: int | None = None,
                  t: int | None = None, xsel: str = "masked"):
     dt = jnp.dtype(dtype_name)
@@ -579,13 +586,13 @@ def _build_gemmx(n: int, r0: int, c0: int, m: int, w: int, kk: int,
             and r0 % min(ti, 1024) == 0), (n, r0, c0, m, w, ti)
     ni, nj = m // ti, w // t
     fuse_x = nr > 0
-    xw = n - ws if fuse_x else 128
+    xw = n if fuse_x else 128
     nr8 = -(-max(nr, 8) // 8) * 8
     sdt = jnp.dtype(jnp.float32)  # single-row staging is always fp32
     hi = jax.lax.Precision.HIGHEST if gd == jnp.float32 else None
     kernel = functools.partial(
         _gemmx_kernel, ti=ti, t=t, kk=kk, ni=ni, nj=nj, r0=r0, c0=c0,
-        g=g, ws=ws, xw=xw, nr=nr, hi=hi, fuse_x=fuse_x, xsel=xsel,
+        g=g, xw=xw, nr=nr, hi=hi, fuse_x=fuse_x, xsel=xsel,
     )
     vmem = (
         4 * ti * kk * gd.itemsize          # lbuf (4 slots in pair mode)
@@ -647,105 +654,40 @@ def _build_gemmx(n: int, r0: int, c0: int, m: int, w: int, kk: int,
     )
 
 
-def _next_chain(wid, depth, m):
-    """Per entry, the values of the next 1..depth distinct ``wid`` segments
-    (-1 past the end).  ``wid`` segment-grouped with negative sentinels on
-    the inactive suffix."""
-    first = jnp.concatenate([jnp.ones((1,), bool), wid[1:] != wid[:-1]])
-    sid = jnp.cumsum(first.astype(jnp.int32)) - 1
-    swid = jnp.full((m + depth,), jnp.int32(-1)).at[sid].set(wid)
-    outs = []
-    for d in range(1, depth + 1):
-        nx = swid[jnp.minimum(sid + d, m + depth - 1)]
-        outs.append(jnp.where(nx < 0, jnp.int32(-1), nx))
-    return outs
-
-
-def exchange_schedules(n, k, glist, dests, g):
-    """Schedules for the combined one-sweep exchange (same construction as
-    `exchange.rows_exchange`, plus the depth-2/3 next-window chains the
-    fused kernel's deeper read-ahead uses).  Returns the 12 scalar-prefetch
-    arrays (kmeta first)."""
-    nr = int(glist.shape[0])
-    k = jnp.asarray(k, jnp.int32)
-    glist = glist.astype(jnp.int32)
-    dests = dests.astype(jnp.int32)
-    j = jnp.arange(nr, dtype=jnp.int32)
-
-    inband_s = (glist >= k) & (glist < k + nr)
-    act_d = (dests < k) | (dests >= k + nr)
-
-    big = jnp.int32(2 * n + 2)
-    key = jnp.concatenate([
-        jnp.where(~inband_s, (glist // g) * 2, big),
-        jnp.where(act_d, (dests // g) * 2 + 1, big),
-    ])
-    o2 = jnp.argsort(key, stable=True)
-    row2 = jnp.concatenate([glist, dests])[o2]
-    t2 = (o2 >= nr).astype(jnp.int32)
-    pay2 = jnp.concatenate([j, j])[o2]
-    n2 = ((~inband_s).sum() + act_d.sum()).astype(jnp.int32)
-
-    e2 = jnp.arange(2 * nr, dtype=jnp.int32)
-    drank = jnp.cumsum(t2).astype(jnp.int32) - 1
-    di = jnp.where((t2 == 1) & (e2 < n2), pay2, nr)
-    slot_by_i = (
-        jnp.zeros((nr + 1,), jnp.int32).at[di].set(drank, mode="drop")[:nr]
-    )
-
-    big1 = jnp.int32(nr + 1)
-    r1 = jnp.concatenate([
-        jnp.where(inband_s, glist - k, big1),
-        jnp.where(act_d, j, big1),
-    ])
-    o1 = jnp.argsort(r1, stable=True)
-    r1s = r1[o1]
-    t1 = jnp.concatenate(
-        [jnp.zeros((nr,), jnp.int32), jnp.ones((nr,), jnp.int32)]
-    )[o1]
-    pay1 = jnp.concatenate([j, slot_by_i])[o1]
-    n1 = (inband_s.sum() + act_d.sum()).astype(jnp.int32)
-
-    tile1 = jnp.where(e2 < n1, r1s // g, jnp.int32(-2))
-    nxt1, nxt1b = _next_chain(tile1, 2, 2 * nr)
-    wid2 = jnp.where(e2 < n2, row2 // g, jnp.int32(-2))
-    nxw1, nxw2, nxw3 = _next_chain(wid2, 3, 2 * nr)
-
-    kmeta = jnp.stack([k, n1, n2, act_d.sum()]).astype(jnp.int32)
-    return (kmeta, r1s, pay1, t1, nxt1, nxt1b, row2, pay2, t2,
-            nxw1, nxw2, nxw3)
-
-
-def gemm_trailing(a, l21, u12, r0, c0, ncols=None, xargs=None,
+def gemm_trailing(a, l21, u12, r0, c0, xargs=None,
                   interpret=False, ti=None, t=None):
-    """In-place ``a[r0:r0+m, c0:c0+ncols] -= l21 @ u12`` with fp32 MXU
+    """In-place ``a[r0:r0+m, c0:c0+w] -= l21 @ u12`` with fp32 MXU
     accumulation (manual tile pipeline; see module docstring).  ``r0``/
     ``c0`` static, multiples of 1024.
 
-    ``xargs = (k, glist, dests, ws)`` fuses the combined one-sweep row
-    exchange over columns ``[ws, n)`` into the tile loop (entries gated on
-    GEMM strip completion): returns ``(a', pivrows)`` with ``pivrows[j] =
-    a_post_gemm[glist[j], ws:]`` and band rows scattered to out-of-band
-    ``dests`` — the caller finishes by writing ``pivrows`` over the band
-    (exchange.rows_exchange contract).  Without ``xargs`` returns ``a'``.
+    ``xargs = (k, glist, dests)`` fuses the combined one-sweep row
+    exchange into the tile loop (entries gated on GEMM strip completion):
+    returns ``(a', pivrows)`` with ``pivrows[j] = a_post_gemm[glist[j], :]``
+    and band rows scattered to out-of-band ``dests`` — the caller finishes
+    by writing ``pivrows`` over the band (exchange.rows_exchange contract).
+    Without ``xargs`` returns ``a'``.
     """
     n = a.shape[0]
     m, kk = l21.shape
-    w = ncols if ncols is not None else u12.shape[1]
-    assert u12.shape == (kk, w), (u12.shape, kk, w)
+    kk2, w = u12.shape
+    assert kk2 == kk, (u12.shape, kk)
     g = _granule(a.dtype)
     if xargs is None:
-        nr, ws = 0, 0
+        nr = 0
         dummy = jnp.zeros((1,), jnp.int32)
         sched = (jnp.zeros((4,), jnp.int32),) + (dummy,) * 11
     else:
-        k, glist, dests, ws = xargs
+        k, glist, dests = xargs
         nr = int(glist.shape[0])
-        sched = exchange_schedules(n, k, glist, dests, g)
-    fn = _build_gemmx(n, int(r0), int(c0), m, w, kk, int(ws), nr,
+        km, r1s, pay1, t1, tc, row2, pay2, t2, wc = (
+            build_exchange_schedules(n, k, glist, dests, g,
+                                     tile_depth=2, win_depth=_XAHEAD)
+        )
+        sched = (km, r1s, pay1, t1, *tc, row2, pay2, t2, *wc)
+    fn = _build_gemmx(n, int(r0), int(c0), m, w, kk, nr,
                       a.dtype.name, l21.dtype.name, interpret, ti, t,
                       xsel_mode())
     a2, piv3, _ = fn(*sched, l21, u12, a)
     if xargs is None:
         return a2
-    return a2, piv3[:nr].reshape(nr, n - int(ws)).astype(a.dtype)
+    return a2, piv3[:nr].reshape(nr, n).astype(a.dtype)

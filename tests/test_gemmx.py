@@ -54,13 +54,13 @@ def test_plain_gemm_matches_jnp(rng, dt, gd):
     assert err.max() <= tol, err.max()
 
 
-@pytest.mark.parametrize("dt,gd,ws,bc", [
-    (jnp.float32, jnp.float32, 0, 64),
-    (jnp.bfloat16, jnp.bfloat16, 0, 64),
-    (jnp.float32, jnp.bfloat16, 128, 32),
-    (jnp.bfloat16, jnp.bfloat16, 256, 48),
+@pytest.mark.parametrize("dt,gd,bc", [
+    (jnp.float32, jnp.float32, 64),
+    (jnp.bfloat16, jnp.bfloat16, 64),
+    (jnp.float32, jnp.bfloat16, 32),
+    (jnp.bfloat16, jnp.bfloat16, 48),
 ])
-def test_fused_exchange_bitexact_vs_composition(rng, dt, gd, ws, bc):
+def test_fused_exchange_bitexact_vs_composition(rng, dt, gd, bc):
     n, kk = 512, 128
     k = 128
     r0, c0 = k, k + 128
@@ -71,13 +71,13 @@ def test_fused_exchange_bitexact_vs_composition(rng, dt, gd, ws, bc):
     glist, dests = _rand_band_perm(rng, n, k, bc)
 
     ag = gemm_trailing(a, l21, u12, r0, c0, interpret=True, ti=128, t=128)
-    ref_a, ref_piv = rows_exchange(ag, k, glist, dests, ws=ws, interpret=True)
+    ref_a, ref_piv = rows_exchange(ag, k, glist, dests, interpret=True)
     out_a, out_piv = gemm_trailing(
-        a, l21, u12, r0, c0, xargs=(k, glist, dests, ws),
+        a, l21, u12, r0, c0, xargs=(k, glist, dests),
         interpret=True, ti=128, t=128,
     )
     oa, ra = np.array(out_a), np.array(ref_a)
-    ra[k:k + bc, ws:] = oa[k:k + bc, ws:]  # band covered by caller DUS
+    ra[k:k + bc] = oa[k:k + bc]  # band covered by caller DUS
     assert (oa == ra).all()
     assert (np.array(out_piv) == np.array(ref_piv)).all()
 
@@ -94,7 +94,7 @@ def test_fused_identity_permutation(rng):
     dests = jnp.arange(k, k + bc, dtype=jnp.int32)
     plain = gemm_trailing(a, l21, u12, r0, c0, interpret=True, ti=128, t=128)
     out_a, out_piv = gemm_trailing(
-        a, l21, u12, r0, c0, xargs=(k, glist, dests, 0),
+        a, l21, u12, r0, c0, xargs=(k, glist, dests),
         interpret=True, ti=128, t=128,
     )
     assert (np.array(out_a) == np.array(plain)).all()
@@ -114,7 +114,7 @@ def test_fused_full_reversal(rng):
     ag = gemm_trailing(a, l21, u12, r0, c0, interpret=True, ti=128, t=128)
     ref_a, ref_piv = rows_exchange(ag, k, glist, dests, interpret=True)
     out_a, out_piv = gemm_trailing(
-        a, l21, u12, r0, c0, xargs=(k, glist, dests, 0),
+        a, l21, u12, r0, c0, xargs=(k, glist, dests),
         interpret=True, ti=128, t=128,
     )
     oa, ra = np.array(out_a), np.array(ref_a)
@@ -138,7 +138,7 @@ def test_fused_exchange_pair_major(rng, dt, c0, bc):
     ag = gemm_trailing(a, l21, u12, r0, c0, interpret=True, ti=128, t=128)
     ref_a, ref_piv = rows_exchange(ag, k, glist, dests, interpret=True)
     out_a, out_piv = gemm_trailing(
-        a, l21, u12, r0, c0, xargs=(k, glist, dests, 0),
+        a, l21, u12, r0, c0, xargs=(k, glist, dests),
         interpret=True, ti=128, t=128,
     )
     oa, ra = np.array(out_a), np.array(ref_a)

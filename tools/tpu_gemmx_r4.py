@@ -71,7 +71,7 @@ def phase_val():
         )(ag)
         out_a, out_piv = jax.jit(
             lambda a: gemm_trailing(a, l21, u12, r0, c0,
-                                    xargs=(k, glist, dests, 0),
+                                    xargs=(k, glist, dests),
                                     interpret=INTERPRET)
         )(a)
         # compare on device (D2H is ~10 MB/s through the tunnel)
@@ -149,7 +149,7 @@ def phase_perfx(iters=8):
         def fused(a):
             def body(i, a):
                 a2, piv = gemm_trailing(a, l21, u12, r0, c0,
-                                        xargs=(k, glist, dests, 0),
+                                        xargs=(k, glist, dests),
                                         interpret=INTERPRET)
                 return jax.lax.dynamic_update_slice(a2, piv.astype(a2.dtype),
                                                     (k, 0))
