@@ -375,7 +375,7 @@ def _strip_pivot_kernel_gm(
     piv_ref, pos_ref, glist_ref,
     t_ref, chunk_ref, sem,
     *, r: int, m: int, nchunk: int, ch: int, quant16: bool = False,
-    stub: str = "", v2: bool = False,
+    stub: str = "", v2: bool = False, defer_full: bool = False,
 ):
     """Group-major strip pivot kernel (round 3, VERDICT r2 item 1).
 
@@ -483,8 +483,37 @@ def _strip_pivot_kernel_gm(
             t_ref[:, pl.ds(so, _W), :] = (tk.astype(f32) - upd).astype(dt)
             return 0
 
+        def upd_full():
+            """One full-panel masked rank-W update instead of the per-chunk
+            tail loop (``MPF_A1_DEFER=full``, round 4): the round-4 chip
+            attribution pinned ~79% of A1 on the per-chunk loop's tiny
+            (W-row output) MXU dots; the full-panel form runs the same
+            row-independent arithmetic as THREE r-row dots (~10x better MXU
+            shapes) with frozen rows masked to an exact no-op (u = 0 =>
+            tk - 0, and the f32->dt cast of an exact dt value is identity)
+            — bit-identical to the chunk loop (tested)."""
+            tk = t_ref[:, :, :]                                 # (8, r, ml)
+            p = jax.lax.dot_general(
+                tk, sel_s, bdn, preferred_element_type=f32, precision=hi
+            )                                                    # (8, r, W)
+            u = jnp.dot(jnp.sum(p, axis=0), vinv,
+                        preferred_element_type=f32)              # (r, W)
+            rows_r = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+            u = jnp.where(rows_r >= (s + 1) * _W, u, 0.0)
+            ub = jnp.broadcast_to(u.astype(dt)[None], (8, r, _W))
+            upd = jax.lax.dot_general(
+                ub, mq_s, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32, precision=hi,
+            )                                                    # (8, r, ml)
+            t_ref[:, :, :] = (tk.astype(f32) - upd).astype(dt)
+
         if "defer" not in stub:  # stub: timing attribution (results WRONG)
-            jax.lax.fori_loop(s + 1, nstrips, upd_body, 0)
+            if defer_full:
+                @pl.when(s + 1 < nstrips)  # last strip: nothing to update
+                def _():
+                    upd_full()
+            else:
+                jax.lax.fori_loop(s + 1, nstrips, upd_body, 0)
 
     def search_or_stub(colv3, posk, d2):
         if "search" in stub:  # stub: diagonal pivot, no reduce (WRONG)
@@ -613,7 +642,8 @@ def _strip_pivot_kernel_gm(
 def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
                        panel_dtype_name: str, interpret: bool = False,
                        quant16_override: bool | None = None,
-                       gm: bool = False, stub: str = "", v2: bool = False):
+                       gm: bool = False, stub: str = "", v2: bool = False,
+                       defer_full: bool = False):
     in_dtype = jnp.dtype(in_dtype_name)
     panel_dtype = jnp.dtype(panel_dtype_name)
     # largest chunk that divides m (the chunk loop is trace-unrolled, so ch
@@ -647,7 +677,7 @@ def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
         chg = ml if ml <= _CHUNK else math.gcd(ml, _CHUNK)
         kernel = functools.partial(
             _strip_pivot_kernel_gm, r=r, m=m, nchunk=m // chg, ch=chg,
-            quant16=quant16, stub=stub, v2=v2,
+            quant16=quant16, stub=stub, v2=v2, defer_full=defer_full,
         )
         return pl.pallas_call(
             kernel,
@@ -776,6 +806,7 @@ def strip_panel_pivots(panel, off, pos, panel_dtype=None, interpret=False,
         m, w, r, panel.dtype.name, panel_dtype.name, interpret, _quant16, gm,
         os.environ.get("MPF_A1_STUB", ""),  # timing attribution ONLY
         gm and os.environ.get("MPF_A1_V2", "0") == "1",
+        gm and os.environ.get("MPF_A1_DEFER", "chunk") == "full",
     )
     if gm:
         # group-major kernel: pos crosses the boundary as the (8, ml)

@@ -589,3 +589,25 @@ def test_strip_pivots_v2_bitexact(pdt, monkeypatch):
     # the exact-match test: pivots must be a valid permutation prefix
     piv = outs["1"][0]
     assert (piv >= 32).all() and len(set(piv.tolist())) == r
+
+
+def test_strip_pivots_defer_full_bitexact(monkeypatch):
+    """MPF_A1_DEFER=full (one full-panel masked rank-W update per strip,
+    round 4) must be BIT-identical to the per-chunk tail loop: the update
+    arithmetic is row-independent and frozen rows get an exact no-op."""
+    from mpf_tpu.ops.panel_strip import strip_panel_pivots
+
+    rng = np.random.default_rng(7)
+    m, bc, r = 1024, 128, 64  # m % 1024 == 0 -> group-major kernel
+    slab = jnp.asarray(rng.standard_normal((m, bc)), jnp.float32)
+    pos0 = jnp.arange(m, dtype=jnp.int32)
+    outs = {}
+    for mode in ("chunk", "full"):
+        monkeypatch.setenv("MPF_A1_DEFER", mode)
+        outs[mode] = jax.tree.map(
+            np.asarray,
+            strip_panel_pivots(slab, 0, pos0, panel_dtype=jnp.bfloat16,
+                               jj0=0, r=r, interpret=True),
+        )
+    for a, b in zip(outs["chunk"], outs["full"]):
+        np.testing.assert_array_equal(a, b)
