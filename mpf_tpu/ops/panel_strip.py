@@ -806,7 +806,7 @@ def strip_panel_pivots(panel, off, pos, panel_dtype=None, interpret=False,
         m, w, r, panel.dtype.name, panel_dtype.name, interpret, _quant16, gm,
         os.environ.get("MPF_A1_STUB", ""),  # timing attribution ONLY
         gm and os.environ.get("MPF_A1_V2", "0") == "1",
-        gm and os.environ.get("MPF_A1_DEFER", "chunk") == "full",
+        gm and os.environ.get("MPF_A1_DEFER", "full") == "full",
     )
     if gm:
         # group-major kernel: pos crosses the boundary as the (8, ml)
