@@ -229,8 +229,11 @@ def _pad_quantum(n: int) -> int:
     return _PAD_QUANTUM * (2 if n > 32768 else 1)
 
 
-def _fused_ok(n: int, k: int, bc: int, r: int, policy, pivot, panel_kernel) -> bool:
-    """Gate for the fused virtual-pivoting block-column path (round 2)."""
+def _fused_ok(n: int, k: int, bc: int, r: int, policy, pivot, panel_kernel,
+              ov: int = 0) -> bool:
+    """Gate for the fused virtual-pivoting block-column path (round 2).
+    ``ov``: appended overflow rows (deferred-exchange driver) — the slab is
+    physically m + ov tall."""
     if not (pivot and panel_kernel is None and config.use_pallas()):
         return False
     if policy.saturate_panel or jnp.dtype(policy.panel) not in (
@@ -246,7 +249,7 @@ def _fused_ok(n: int, k: int, bc: int, r: int, policy, pivot, panel_kernel) -> b
     if r % 128 and jax.default_backend() == "tpu":
         return False
     q = _pad_quantum(n)
-    m = min(n, -((k - n) // q) * q)
+    m = min(n, -((k - n) // q) * q) + ov
     if m % min(512, m):  # rb self-adjusts down to the 512 floor
         return False
     # transposed panel must fit VMEM next to the strip buffers (v5e VMEM is
@@ -283,7 +286,11 @@ def _pad_target(n: int, r: int, policy, pivot, panel_kernel) -> int:
     return n_pad
 
 
-def _factor_block_column_fused(slab, diag0, r, policy):
+_SENT = 2**31 - 1  # dead-row position sentinel (see `strip_panel_pivots`)
+
+
+def _factor_block_column_fused(slab, diag0, r, policy, pos0=None,
+                               pos_bound=None):
     """Virtual-pivoting factorization of the (m, bc) slab (rows are a tail
     window of the matrix; ``diag0`` = slab-local row of the block column's
     first diagonal).  Rows NEVER move during the inner loop — the strip
@@ -296,7 +303,16 @@ def _factor_block_column_fused(slab, diag0, r, policy):
 
     Returns (slab', pos (m,), olog (bc,) — the original row landing at each
     diagonal position, piv (bc,) local positions, u_all (bc, bc),
-    info local)."""
+    info local).
+
+    ``pos0`` (deferred-exchange driver, round 5): initial position map
+    instead of the identity — live rows carry their virtual positions
+    (overflow rows stand in for the stale physical copies at their
+    deferred destinations), dead rows carry the ``_SENT`` sentinel (stale
+    copies and unused overflow slots; excluded from search, swaps, and
+    elimination by the strip kernel).  ``pos_bound``: exclusive bound of
+    live position values (= the LOGICAL slab height when the physical slab
+    carries appended overflow rows) — gates the quant16 search."""
     from mpf_tpu.ops.panel_strip import strip_panel_pivots
     from mpf_tpu.ops.panel_fused import (
         rowblock_assemble,
@@ -317,7 +333,7 @@ def _factor_block_column_fused(slab, diag0, r, policy):
     # (fusable) ops — a fori_loop variant measured ~0.5 ms/panel of XLA
     # dynamic-slice/DUS overhead alone.  Kernel instances are shape-keyed
     # and shared across panels (offsets arrive as runtime scalars).
-    pos = _iota(m)
+    pos = _iota(m) if pos0 is None else pos0
     info = jnp.int32(0)
     pivs = []
     ologs = []
@@ -331,7 +347,8 @@ def _factor_block_column_fused(slab, diag0, r, policy):
             piv, glist = j0 + _iota(r), j0 + _iota(r)
         else:
             piv, pos, glist = strip_panel_pivots(
-                slab, j0, pos, panel_dtype=policy.panel, jj0=jj0, r=r
+                slab, j0, pos, panel_dtype=policy.panel, jj0=jj0, r=r,
+                pos_bound=pos_bound,
             )
         if config.ablate("a2"):  # timing-only stub (results WRONG)
             rowblock = jax.lax.dynamic_slice(slab, (j0, 0), (r, bc))
@@ -355,20 +372,27 @@ def _factor_block_column_fused(slab, diag0, r, policy):
     return slab, pos, olog_all, piv_all, u_all, info
 
 
-def _fused_panel_stage(a, k: int, bc: int, r, policy, ipiv, info):
+def _fused_panel_stage(a, k: int, bc: int, r, policy, ipiv, info,
+                       ov: int = 0, pos0=None):
     """Virtual-pivoting panel work (A1+A2+B) of the fused path for block
     column ``k``: factor the quantized tail slab, write it back, update
     ``ipiv``/``info``.  Returns ``(a, ipiv, info, stage)`` with ``stage =
-    (k0, band_idx, glist, dests, u_all)`` — everything the physical row
-    exchange and the bookkeeping need.  Shared by the classic loop and the
-    one-deep-lookahead loop so their panel semantics cannot diverge."""
-    n = a.shape[0]
+    (k0, band_idx, glist, dests, u_all, pos_l)`` — everything the physical
+    row exchange and the bookkeeping need.  Shared by the classic loop, the
+    one-deep-lookahead loop, and the deferred-exchange loop so their panel
+    semantics cannot diverge.
+
+    Deferred-exchange driver: ``a`` is the (n + ov, n) extended matrix
+    (the bottom ``ov`` rows are the overflow region) and ``pos0`` the
+    slab-local initial position map (see `_factor_block_column_fused`)."""
+    n = a.shape[0] - ov
     q = _pad_quantum(n)
     m = min(n, -((k - n) // q) * q)
     k0 = n - m  # rows above k0 can neither pivot nor update
-    sub = a[k0:, k : k + bc]
+    sub = a[k0:, k : k + bc]  # height m + ov
     sub, pos_l, olog_l, piv_l, u_all, info_b = (
-        _factor_block_column_fused(sub, k - k0, r, policy)
+        _factor_block_column_fused(sub, k - k0, r, policy, pos0=pos0,
+                                   pos_bound=m if ov else None)
     )
     if not config.ablate("slabio"):
         a = a.at[k0:, k : k + bc].set(sub)
@@ -377,15 +401,21 @@ def _fused_panel_stage(a, k: int, bc: int, r, policy, ipiv, info):
     band_idx = (k - k0) + _iota(bc)
     dests = k0 + jnp.take(pos_l, band_idx)  # band rows' new positions
     glist = k0 + olog_l  # pivot-row sources (original rows)
-    return a, ipiv, info, (k0, band_idx, glist, dests, u_all)
+    return a, ipiv, info, (k0, band_idx, glist, dests, u_all, pos_l)
 
 
-def _compose_perm(perm_total, k: int, bc: int, stage):
+def _compose_perm(perm_total, k: int, bc: int, stage, vglist=None):
     """Compose one fused block column's row map into the running total —
-    only the band and the displaced destinations change."""
-    k0, band_idx, glist, dests, _ = stage
+    only the band and the displaced destinations change.  ``vglist``
+    (deferred-exchange driver): the pivot rows' column-start VIRTUAL
+    positions — ``glist`` is physical and may point into the overflow
+    region, but ``perm_total`` is indexed by virtual position (for
+    materialized rows the two coincide, so the classic loop passes
+    nothing)."""
+    k0, band_idx, glist, dests = stage[:4]
     pt_old = perm_total
-    perm_total = perm_total.at[k + _iota(bc)].set(jnp.take(pt_old, glist))
+    src = glist if vglist is None else vglist
+    perm_total = perm_total.at[k + _iota(bc)].set(jnp.take(pt_old, src))
     perm_total = perm_total.at[dests].set(jnp.take(pt_old, k0 + band_idx))
     return perm_total
 
@@ -575,7 +605,7 @@ def _lookahead_factorize(a, r, policy, fprec, block, ipiv, info, perm_total,
     eager_x = not xoff  # block column 0's exchange is still pending
 
     for i, (k, bc) in enumerate(nb):
-        _, _, glist, dests, u_all = stage
+        _, _, glist, dests, u_all = stage[:5]
         if eager_x:
             a, pivrows = rows_exchange(a, k, glist, dests, interpret=interp)
             a = jax.lax.dynamic_update_slice(a, pivrows, (k, 0))
@@ -595,7 +625,7 @@ def _lookahead_factorize(a, r, policy, fprec, block, ipiv, info, perm_total,
                                  linv=linv)
         a, ipiv, info, stage = _fused_panel_stage(a, kn, bc2, r, policy,
                                                   ipiv, info)
-        _, _, glist2, dests2, _ = stage
+        _, _, glist2, dests2 = stage[:4]
         if outer_off or e2 >= n:
             # nothing wide to hide in: next iteration exchanges eagerly
             eager_x = not xoff
@@ -622,6 +652,158 @@ def _lookahead_factorize(a, r, policy, fprec, block, ipiv, info, perm_total,
     return MPFResult(lu=a, ipiv=ipiv, info=info, perm=perm_total)
 
 
+def _deferred_factorize(a, r, policy, fprec, block, ipiv, info, perm_total,
+                        interp: bool, S: int):
+    """Deferred-overflow exchange loop (round 5, ``MPF_DEFER``): block
+    columns run in groups of ``S``; each column's displaced band rows whose
+    destination lies BEYOND the group's last column append CONTIGUOUSLY to
+    an overflow region of ``S * block`` rows extended below the matrix,
+    instead of scattering into 16-row granule windows (the measured 64k
+    uniform-corpus bound: each visited window streams 16 full rows to move
+    1-2, STATUS round-4).  One flush per group then overlays all deferred
+    rows home — each touched window now carries ~S x more moves per visit,
+    dividing the granule waste by up to S.  Destinations INSIDE the group
+    stay eager (same `rows_exchange` call, deferred dests self-masked), so
+    every band the group will factor is always physically materialized.
+
+    Correctness machinery: ``posg`` maps every physical row of the
+    extended matrix to its virtual position (identity when materialized,
+    the deferred destination for live overflow rows, the ``_SENT`` dead
+    sentinel for stale physical copies and unused slots).  The strip
+    kernel searches/updates by positions, so pivoting sees the overflow
+    rows AT their deferred destinations (reference tie-break semantics
+    preserved — the row behaves exactly as if it sat at its destination);
+    dead rows are excluded from search and multipliers, and their values
+    (garbage after trailing updates — harmless, row-local) are overwritten
+    by the flush.  Pivot gathers need no indirection at all: the strip
+    kernel's ``olog`` already returns the PHYSICAL winning row, overflow
+    or not.  ``perm_total`` stays virtual-position-indexed via ``vglist =
+    posg[glist]``.  The trailing GEMM covers the overflow strip (its rows
+    are real trailing rows); the sequential-swap semantics of the
+    reference's LASWP (`MPF.cu:42-59`) are preserved through the
+    indirection — pivots bit-match the eager driver (tested).
+
+    Caller guarantees every block column passes `_fused_ok(..., ov)`,
+    n % block == 0, combined exchange on, no superblock/lookahead."""
+    from mpf_tpu.ops.exchange import (
+        rows_exchange,
+        flush_overflow,
+        copy_rows_block,
+    )
+
+    n = a.shape[0]
+    ov = S * block
+    sent = jnp.int32(_SENT)
+    a_ext = jnp.zeros((n + ov, n), a.dtype)
+    a_ext = jax.lax.dynamic_update_slice(a_ext, a, (0, 0))
+    posg = jnp.concatenate([_iota(n), jnp.full((ov,), sent, jnp.int32)])
+    xoff = config.ablate("exchange")
+    nb = [k for k in range(0, n, block) if n - k > 1]
+    groups = [nb[i : i + S] for i in range(0, len(nb), S)]
+
+    for group in groups:
+        gend = min(group[-1] + block, n)  # defer only dests >= gend
+        for si, k in enumerate(group):
+            bc = min(block, n - k)
+            q = _pad_quantum(n)
+            m = min(n, -((k - n) // q) * q)
+            k0 = n - m
+            posl = jax.lax.dynamic_slice(posg, (k0,), (m + ov,))
+            pos0 = jnp.where(posl == sent, sent, posl - k0)
+            a_ext, ipiv, info, stage = _fused_panel_stage(
+                a_ext, k, bc, r, policy, ipiv, info, ov=ov, pos0=pos0
+            )
+            _, band_idx, glist, dests, u_all, _ = stage
+            vglist = jnp.take(posg, glist)
+            perm_total = _compose_perm(perm_total, k, bc, stage,
+                                       vglist=vglist)
+            defer = dests >= gend
+            sbase = n + si * block  # this column's overflow slot range
+            if not xoff:
+                # band -> overflow append (one contiguous HBM->HBM DMA;
+                # pre-exchange values = the displaced occupants)
+                a_ext = copy_rows_block(a_ext, k, sbase, bc,
+                                        interpret=interp)
+                # eager exchange: deferred dests self-masked (in-band
+                # dests are inactive in the kernel's schedule)
+                eager_dests = jnp.where(defer, k + _iota(bc), dests)
+                a_ext, pivrows = rows_exchange(a_ext, k, glist, eager_dests,
+                                               interpret=interp)
+                a_ext = jax.lax.dynamic_update_slice(a_ext, pivrows, (k, 0))
+            a_ext = jax.lax.dynamic_update_slice(a_ext, u_all, (k, k))
+            # posg bookkeeping: slots whose row was consumed as a pivot
+            # die; this column's deferred dests go stale with their values
+            # at fresh slots.  (Overflow-row positions only ever change by
+            # WINNING a pivot search — the displaced diagonal occupant is
+            # always in-band — so the incremental update is complete.)
+            drop = jnp.int32(n + ov)  # out-of-bounds -> mode="drop"
+            posg = posg.at[jnp.where(glist >= n, glist, drop)].set(
+                sent, mode="drop")
+            slots = sbase + _iota(bc)
+            posg = posg.at[jnp.where(defer, slots, drop)].set(
+                dests, mode="drop")
+            posg = posg.at[jnp.where(defer, dests, drop)].set(
+                sent, mode="drop")
+            if k + bc < n and not config.ablate("outer"):
+                a_ext = _trailing_update(a_ext, k, bc, n, policy, fprec,
+                                         u_all, r)
+        # flush: every live overflow row home, ONE window sweep per group
+        dov = jax.lax.dynamic_slice(posg, (n,), (ov,))
+        if not xoff:
+            a_ext = flush_overflow(a_ext, n, dov, interpret=interp)
+        live = dov < n
+        posg = posg.at[jnp.where(live, dov, drop)].set(
+            jnp.where(live, dov, sent), mode="drop")
+        posg = jax.lax.dynamic_update_slice(
+            posg, jnp.full((ov,), sent, jnp.int32), (n,))
+
+    return MPFResult(lu=a_ext[:n, :], ipiv=ipiv, info=info, perm=perm_total)
+
+
+def _resolve_defer(n: int, block: int, r: int, policy, pivot, panel_kernel,
+                   defer) -> int:
+    """Group size S for the deferred-overflow exchange, or 0 (off).
+
+    ``defer``: explicit int S / True (= env or default S) / False / None
+    (defer to ``MPF_DEFER``: "0" off, "auto", or an int S).  Auto policy:
+    ON for bf16 working precision at n >= 49152 — the regime where the
+    exchange is HBM-granule-bytes bound (the 64k uniform corpus measures
+    ~520 ms of window traffic); at 32k and below the exchange is
+    latency-bound and deferral's extra passes do not pay (chip A/B)."""
+    import os
+
+    env = os.environ.get("MPF_DEFER", "auto")
+    if defer is None:
+        defer = {"0": False, "auto": "auto"}.get(env, env)
+    if defer is False or not pivot:
+        return 0
+    s = 0
+    if defer == "auto":
+        if jnp.dtype(policy.working) == jnp.bfloat16 and n >= 49152:
+            s = int(os.environ.get("MPF_DEFER_S", "8"))
+    elif defer is True:
+        s = int(os.environ.get("MPF_DEFER_S", "8"))
+    else:
+        s = int(defer)
+    if s <= 0:
+        return 0
+    if n % block or n < 2 * block:
+        return 0
+    if not config.combined_exchange():
+        return 0
+    kon, _ = config.kernels_on()
+    if not kon:
+        return 0
+    ov = s * block
+    ok = all(
+        _fused_ok(n, k, min(block, n - k), r, policy, pivot, panel_kernel,
+                  ov=ov)
+        for k in range(0, n, block)
+        if n - k > 1
+    )
+    return s if ok else 0
+
+
 def mpf_factorize_traced(
     a: jax.Array,
     r: int = 128,
@@ -631,6 +813,7 @@ def mpf_factorize_traced(
     panel_kernel=None,
     super_block="auto",
     lookahead: bool | None = None,
+    defer=None,
 ) -> MPFResult:
     """Trace-time body: two-level blocked LU.  Call through
     :func:`mpf_factorize` / :func:`make_mpf` for the jitted entry points.
@@ -638,6 +821,11 @@ def mpf_factorize_traced(
     ``panel_kernel(panel_lowprec, row_offset) -> (piv, perm)`` overrides the
     pre-pivoting panel implementation (default: the jnp reference kernel;
     the Pallas TPU kernel plugs in here).
+
+    ``defer``: deferred-overflow exchange (round 5) — int group size S,
+    True (env/default S), False, or None (the ``MPF_DEFER`` env knob;
+    default "auto": on for bf16 working at n >= 49152).  See
+    `_deferred_factorize`.
     """
     n = a.shape[0]
     if a.shape != (n, n):
@@ -653,7 +841,7 @@ def mpf_factorize_traced(
         res = mpf_factorize_traced(
             apad, r=r, policy=policy, pivot=pivot, block=block,
             panel_kernel=panel_kernel, super_block=super_block,
-            lookahead=lookahead,
+            lookahead=lookahead, defer=defer,
         )
         return MPFResult(
             lu=res.lu[:n, :n],
@@ -709,6 +897,18 @@ def mpf_factorize_traced(
             a, r, policy, fprec, block, ipiv, info, perm_total, interp
         )
 
+    # Deferred-overflow exchange (round 5): grouped block columns with one
+    # window-sweep flush per group (pivot-heavy-corpus exchange cost)
+    if pivot and not looka and S is None and not config.ablate("slabio"):
+        S_defer = _resolve_defer(n, block, r, policy, pivot, panel_kernel,
+                                 defer)
+        if S_defer:
+            _, interp = config.kernels_on()
+            return _deferred_factorize(
+                a, r, policy, fprec, block, ipiv, info, perm_total, interp,
+                S_defer,
+            )
+
     for k in range(0, n, block):
         bc = min(block, n - k)
         if n - k <= 1:
@@ -719,7 +919,7 @@ def mpf_factorize_traced(
             a, ipiv, info, stage = _fused_panel_stage(
                 a, k, bc, r, policy, ipiv, info
             )
-            k0, band_idx, glist_b, dests_b, u_all = stage
+            k0, band_idx, glist_b, dests_b, u_all = stage[:5]
             # Bounded physical row exchange (LAPACK LASWP semantics,
             # `MPF.cu:42-59`, composed into one row map), split by the
             # structure of the composed map: (a) every row moving INTO the
@@ -833,7 +1033,7 @@ def mpf_factorize_traced(
 @functools.partial(
     jax.jit,
     static_argnames=("r", "policy", "pivot", "block", "super_block",
-                     "lookahead"),
+                     "lookahead", "defer"),
 )
 def mpf_factorize(
     a: jax.Array,
@@ -843,14 +1043,17 @@ def mpf_factorize(
     block: int | None = None,
     super_block="auto",
     lookahead: bool | None = None,
+    defer=None,
 ) -> MPFResult:
     """Jitted blocked MPF factorization (the library entry point, reference
     `MPF.h:3`).  ``lookahead``: one-deep pipelined loop (round 4); ``None``
     defers to the ``MPF_LOOKAHEAD`` env knob — an explicit bool is part of
-    the jit cache key, so A/B harnesses must pass it explicitly."""
+    the jit cache key, so A/B harnesses must pass it explicitly.
+    ``defer``: deferred-overflow exchange group size (round 5; ``None`` =
+    the ``MPF_DEFER`` env knob, same A/B caveat)."""
     return mpf_factorize_traced(
         a, r=r, policy=policy, pivot=pivot, block=block,
-        super_block=super_block, lookahead=lookahead,
+        super_block=super_block, lookahead=lookahead, defer=defer,
     )
 
 
@@ -865,6 +1068,7 @@ def make_mpf(
     donate: bool = True,
     super_block="auto",
     lookahead: bool | None = None,
+    defer=None,
 ):
     """Build a jitted factorizer for a fixed problem size, optionally donating
     the input buffer (in-place factorization like the reference's overwrite of
@@ -880,7 +1084,7 @@ def make_mpf(
         return mpf_factorize_traced(
             a, r=r, policy=policy, pivot=pivot, block=block,
             panel_kernel=panel_kernel, super_block=super_block,
-            lookahead=lookahead,
+            lookahead=lookahead, defer=defer,
         )
 
     return jax.jit(fn, donate_argnums=(0,) if donate else ())

@@ -360,10 +360,16 @@ def _rows_exchange_kernel(
 @functools.lru_cache(maxsize=64)
 def _build_rows_exchange(n: int, wfull: int, nr: int,
                          dtype_name: str, interpret: bool = False,
-                         xsel: str = "masked"):
+                         xsel: str = "masked", nrp: int | None = None):
+    """``nrp``: row count of the pivrows output (defaults to ``nr``).  The
+    flush of the deferred-exchange driver runs this kernel with NO source
+    entries (`flush_overflow`), so its pivrows output is never written —
+    ``nrp=8`` keeps the dead allocation off the HBM budget (an OV-row fp32
+    buffer would be ~2 GB at the 64k north star)."""
     dt = jnp.dtype(dtype_name)
     g = _granule(dt)
     w = wfull
+    nrp = nr if nrp is None else nrp
     nr8 = -(-nr // 8) * 8
     # Single-ROW staging buffers are always fp32: a (1, w) bf16 ref is
     # sublane-padded to 2 under Mosaic's (2, 128) bf16 tiling, and slicing
@@ -400,7 +406,7 @@ def _build_rows_exchange(n: int, wfull: int, nr: int,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n, wfull), dt),
-            jax.ShapeDtypeStruct((nr, 1, w), sdt),
+            jax.ShapeDtypeStruct((nrp, 1, w), sdt),
             jax.ShapeDtypeStruct((nr8, 1, w), sdt),
         ),
         input_output_aliases={9: 0},  # a, after the 9 scalar-prefetch args
@@ -432,7 +438,8 @@ def _next_chain(wid, depth: int):
 
 
 def build_exchange_schedules(n, k, glist, dests, g,
-                             tile_depth: int = 1, win_depth: int = 1):
+                             tile_depth: int = 1, win_depth: int = 1,
+                             sources: bool = True):
     """Schedules for the combined one-sweep exchange (shared by
     :func:`rows_exchange` and the fused GEMM+exchange kernel in
     `ops/gemmx.py`, which asks for deeper tile/window read-ahead chains).
@@ -440,7 +447,12 @@ def build_exchange_schedules(n, k, glist, dests, g,
     Returns ``(kmeta, r1s, pay1, t1, tile_chain, row2, pay2, t2,
     win_chain)`` with ``tile_chain``/``win_chain`` lists of length
     ``tile_depth``/``win_depth`` (the next 1..depth distinct band tiles /
-    windows per entry).  Layout documented on `_rows_exchange_kernel`."""
+    windows per entry).  Layout documented on `_rows_exchange_kernel`.
+
+    ``sources=False`` (the deferred-exchange flush): the glist half is
+    fully inactive — no pivot-source extraction in either phase; only the
+    displaced-row staging + destination overlays run.  ``dests`` entries
+    >= ``n`` (the dead-slot sentinel) are dropped."""
     nr = int(glist.shape[0])
     k = jnp.asarray(k, jnp.int32)
     glist = glist.astype(jnp.int32)
@@ -448,20 +460,22 @@ def build_exchange_schedules(n, k, glist, dests, g,
     j = jnp.arange(nr, dtype=jnp.int32)
 
     inband_s = (glist >= k) & (glist < k + nr)
-    act_d = (dests < k) | (dests >= k + nr)
+    src1 = inband_s if sources else jnp.zeros((nr,), bool)   # phase-1 srcs
+    src2 = (~inband_s) if sources else jnp.zeros((nr,), bool)  # phase-2 srcs
+    act_d = ((dests < k) | (dests >= k + nr)) & (dests < n)
 
     # phase-2 schedule: out-of-band entries sorted by (window, type),
     # sources first within a window (a position can be source AND dest)
     big = jnp.int32(2 * n + 2)
     key = jnp.concatenate([
-        jnp.where(~inband_s, (glist // g) * 2, big),
+        jnp.where(src2, (glist // g) * 2, big),
         jnp.where(act_d, (dests // g) * 2 + 1, big),
     ])
     o2 = jnp.argsort(key, stable=True)
     row2 = jnp.concatenate([glist, dests])[o2]
     t2 = (o2 >= nr).astype(jnp.int32)
     pay2 = jnp.concatenate([j, j])[o2]
-    n2 = ((~inband_s).sum() + act_d.sum()).astype(jnp.int32)
+    n2 = (src2.sum() + act_d.sum()).astype(jnp.int32)
 
     # staged stream slot of each active dest = its rank among phase-2 dest
     # entries; map it back onto the band row for the phase-1 extract
@@ -475,7 +489,7 @@ def build_exchange_schedules(n, k, glist, dests, g,
     # phase-1 schedule: band rows ascending (sequential tile stream)
     big1 = jnp.int32(nr + 1)
     r1 = jnp.concatenate([
-        jnp.where(inband_s, glist - k, big1),
+        jnp.where(src1, glist - k, big1),
         jnp.where(act_d, j, big1),
     ])
     o1 = jnp.argsort(r1, stable=True)
@@ -484,7 +498,7 @@ def build_exchange_schedules(n, k, glist, dests, g,
         [jnp.zeros((nr,), jnp.int32), jnp.ones((nr,), jnp.int32)]
     )[o1]
     pay1 = jnp.concatenate([j, slot_by_i])[o1]
-    n1 = (inband_s.sum() + act_d.sum()).astype(jnp.int32)
+    n1 = (src1.sum() + act_d.sum()).astype(jnp.int32)
 
     # read-prefetch chains: the next 1..depth distinct tiles/windows
     tile1 = jnp.where(e2 < n1, r1s // g, jnp.int32(-2))
@@ -528,3 +542,76 @@ def rows_exchange(a, k, glist, dests, interpret=False):
     )(r1s, pay1, t1, nxt1, row2, pay2, t2, nxw, kmeta, a)
     # pivrows staging is fp32 (see _build_rows_exchange); exact for bf16
     return a2, piv3.reshape(nr, w).astype(a.dtype)
+
+
+def flush_overflow(a, novstart: int, dests, interpret=False):
+    """Deferred-exchange flush (round 5): ``a[dests[i], :] =
+    a[novstart + i, :]`` for every live slot i (``dests[i] < novstart``;
+    dead slots carry the 2**31-1 sentinel and are dropped).
+
+    Runs the combined-exchange kernel with the overflow strip
+    [novstart, novstart + OV) in the band role and NO pivot sources
+    (``build_exchange_schedules(sources=False)``): phase 1 streams the
+    overflow tiles sequentially, staging each live row at its
+    destination-window rank; phase 2 sweeps the destination windows in
+    ascending order, overlaying from the staged stream — each touched
+    window is visited ONCE for the whole S-block-column group's deferred
+    rows, which is the entire point of the deferral (the granule window
+    moves 16 rows however many of them carry moves; batching S columns
+    multiplies moves-per-visit by ~S).  ``dests`` must be pairwise
+    distinct among live slots (each position has exactly one holder)."""
+    n_ext, wfull = a.shape
+    g = _granule(a.dtype)
+    nov = int(dests.shape[0])
+    glist = novstart + jnp.arange(nov, dtype=jnp.int32)  # inert (sources off)
+    kmeta, r1s, pay1, t1, (nxt1,), row2, pay2, t2, (nxw,) = (
+        build_exchange_schedules(n_ext, novstart, glist, dests, g,
+                                 sources=False)
+    )
+    a2, _, _ = _build_rows_exchange(
+        n_ext, wfull, nov, a.dtype.name, interpret, xsel_mode(), nrp=8
+    )(r1s, pay1, t1, nxt1, row2, pay2, t2, nxw, kmeta, a)
+    return a2
+
+
+def _copy_rows_kernel(meta_ref, a_in_ref, a_ref, sem, *, nrows: int, g: int):
+    """One HBM->HBM block copy: a[dst : dst+nrows) = a[src : src+nrows)
+    (non-overlapping, both granule-aligned)."""
+    src = pl.multiple_of(meta_ref[0], g)
+    dst = pl.multiple_of(meta_ref[1], g)
+    cp = pltpu.make_async_copy(
+        a_in_ref.at[pl.ds(src, nrows), :], a_ref.at[pl.ds(dst, nrows), :],
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+
+@functools.lru_cache(maxsize=32)
+def _build_copy_rows(n: int, w: int, nrows: int, dtype_name: str,
+                     interpret: bool = False):
+    dt = jnp.dtype(dtype_name)
+    kernel = functools.partial(_copy_rows_kernel, nrows=nrows, g=_granule(dt))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # meta (2,) = [src, dst]
+            grid=(),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, w), dt),
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+
+def copy_rows_block(a, src, dst, nrows: int, interpret=False):
+    """In-place contiguous row-block copy a[dst:dst+nrows) = a[src:src+nrows)
+    (one HBM->HBM DMA; the deferred-exchange driver's band -> overflow
+    append).  ``src``/``dst`` traced, granule-aligned, non-overlapping."""
+    n, w = a.shape
+    meta = jnp.stack([jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32)])
+    return _build_copy_rows(n, w, nrows, a.dtype.name, interpret)(meta, a)

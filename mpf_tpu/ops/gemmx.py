@@ -33,6 +33,15 @@ the exchange of rows in strip s only needs strip s's GEMM results, not the
 whole update.  Windows use an 8-slot ring with a 3-deep read-ahead chain
 (``nxw1..3`` schedule columns) so the scalar core never stalls on a window
 read between MXU tiles.
+
+MAINTENANCE CHECK (ADVICE r4): the exchange gating (``x_gate`` + the +5
+write-wait margin, ring-slot reuse) is exercisable ONLY on real hardware —
+interpret-mode DMAs complete synchronously, so the CI bit-exactness tests
+cannot catch a gating regression (a wrong ``done`` offset produces silently
+corrupt factors only on chip).  After ANY change to the tile schedule or
+the gate arithmetic, re-run the chip validation harness
+(``python tools/tpu_gemmx_r4.py val`` — n=4096 fp32+bf16 bit-exactness vs
+the serial composition) before relying on results.
 """
 
 from __future__ import annotations
@@ -594,15 +603,27 @@ def _build_gemmx(n: int, r0: int, c0: int, m: int, w: int, kk: int,
         _gemmx_kernel, ti=ti, t=t, kk=kk, ni=ni, nj=nj, r0=r0, c0=c0,
         g=g, xw=xw, nr=nr, hi=hi, fuse_x=fuse_x, xsel=xsel,
     )
-    vmem = (
-        4 * ti * kk * gd.itemsize          # lbuf (4 slots in pair mode)
-        + 4 * kk * t * gd.itemsize         # ubuf
-        + 4 * ti * t * dt.itemsize         # abuf
-        + 2 * ti * t * 4                   # f32 dot/subtract temporaries
-        + (_NWIN * g * xw + 2 * 4 * g * xw) * dt.itemsize  # xwin + xband
-        + (4 + 16) * xw * 4                # xvbuf + xstile
-        + (24 << 20)
-    )
+    vmem_scratch = [
+        # lbuf: 4 slots (a full strip PAIR + the next pair's prefetch) in
+        # pair-major mode (ni >= 2, matching the kernel's gate), 2 otherwise
+        pltpu.VMEM((4 if ni >= 2 else 2, ti, kk), gd),
+        pltpu.VMEM((4, kk, t), gd),           # ubuf
+        pltpu.VMEM((4, ti, t), dt),           # abuf
+        pltpu.VMEM((_NWIN, g, xw), dt),       # exchange window ring
+        pltpu.VMEM((4, g, xw), dt),           # band tile ring
+        pltpu.VMEM((4, 1, xw), sdt),          # outgoing row ring
+        pltpu.VMEM((2, 8, 1, xw), sdt),       # staged batches
+    ]
+    # budget derived from the SAME shape list passed to pallas_call, so the
+    # two cannot diverge (ADVICE r4 item 3: a hand-maintained formula had
+    # drifted from the actual slot counts), plus the f32 dot/subtract
+    # temporaries and slack for Mosaic's scoped-stack accounting
+    import math as _math
+
+    vmem = sum(
+        _math.prod(s.shape) * jnp.dtype(s.dtype).itemsize
+        for s in vmem_scratch
+    ) + 2 * ti * t * 4 + (24 << 20)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -619,17 +640,7 @@ def _build_gemmx(n: int, r0: int, c0: int, m: int, w: int, kk: int,
                 pl.BlockSpec(memory_space=pl.ANY),   # pivrows
                 pl.BlockSpec(memory_space=pl.ANY),   # staged
             ),
-            scratch_shapes=[
-                # lbuf: 4 slots (a full strip PAIR + the next pair's
-                # prefetch) in pair-major mode (ni >= 2, matching the
-                # kernel's gate), 2 otherwise
-                pltpu.VMEM((4 if ni >= 2 else 2, ti, kk), gd),
-                pltpu.VMEM((4, kk, t), gd),           # ubuf
-                pltpu.VMEM((4, ti, t), dt),           # abuf
-                pltpu.VMEM((_NWIN, g, xw), dt),       # exchange window ring
-                pltpu.VMEM((4, g, xw), dt),           # band tile ring
-                pltpu.VMEM((4, 1, xw), sdt),          # outgoing row ring
-                pltpu.VMEM((2, 8, 1, xw), sdt),       # staged batches
+            scratch_shapes=vmem_scratch + [
                 pltpu.SMEM((4, 2), jnp.int32),        # pend (kind,pos)/vbuf
                 pltpu.SMEM((_NWIN, 2), jnp.int32),    # wps (flag,win)/slot
                 # GEMM sems: 0-3 u ring, 4-7 a reads, 8-11 l ring (4 slots

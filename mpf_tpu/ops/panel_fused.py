@@ -692,12 +692,14 @@ def _trailing_sub_kernel(l_ref, u_ref, a_ref, out_ref, *, hi):
 
 
 @functools.lru_cache(maxsize=512)
-def _build_trailing_sub(n: int, ko: int, row0: int, mrows: int, m: int,
-                        kk: int, dtype_name: str, gemm_dtype_name: str,
-                        ti: int = 1024, interpret: bool = False,
-                        t: int = 1024):
+def _build_trailing_sub(nrows: int, ncmat: int, ko: int, row0: int,
+                        mrows: int, m: int, kk: int, dtype_name: str,
+                        gemm_dtype_name: str, ti: int = 1024,
+                        interpret: bool = False, t: int = 1024):
     """Epilogue-fused a[row0:row0+mrows, ko:ko+m] -= l21seg @ u12, in place
-    on the full (n, n) matrix."""
+    on the full (nrows, ncmat) matrix (rectangular since round 5: the
+    deferred-exchange driver's working matrix carries appended overflow
+    rows, nrows = n + OV)."""
     w = jnp.dtype(dtype_name)
     gd = jnp.dtype(gemm_dtype_name)
     assert mrows % ti == 0 and row0 % ti == 0 and m % t == 0 and ko % t == 0, (
@@ -719,7 +721,7 @@ def _build_trailing_sub(n: int, ko: int, row0: int, mrows: int, m: int,
         ],
         out_specs=pl.BlockSpec((ti, t), lambda i, j: (kbi + i, kbj + j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, n), w),
+        out_shape=jax.ShapeDtypeStruct((nrows, ncmat), w),
         input_output_aliases={2: 0},  # the full matrix, in place
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(
@@ -764,7 +766,7 @@ def trailing_gemm_sub(a, l21, u12, ko, interpret=False, _ti=None, ncols=None):
     ti=1024 — without the split, every block column whose trailing size is
     an odd multiple of 1024 ran entirely at ti=1024 (4x the U12 traffic;
     ~90 ms of pure HBM time across an n=65536 factorization)."""
-    n = a.shape[0]
+    nrows, ncmat = a.shape
     m, kk = l21.shape
     if ncols is None:
         ncols = m
@@ -794,8 +796,8 @@ def trailing_gemm_sub(a, l21, u12, ko, interpret=False, _ti=None, ncols=None):
     )
     for r0, mr, tseg in _trailing_segments(ko, m, ti):
         fn = _build_trailing_sub(
-            n, ko, r0, mr, ncols, kk, a.dtype.name, l21.dtype.name, tseg,
-            interpret, t,
+            nrows, ncmat, ko, r0, mr, ncols, kk, a.dtype.name,
+            l21.dtype.name, tseg, interpret, t,
         )
         a = fn(l21[r0 - ko : r0 - ko + mr], u12, a)
     return a

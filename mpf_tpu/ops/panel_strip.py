@@ -763,7 +763,7 @@ def _build_strip_pivot(m: int, w: int, r: int, in_dtype_name: str,
 
 
 def strip_panel_pivots(panel, off, pos, panel_dtype=None, interpret=False,
-                       jj0=0, r=None, _quant16=None):
+                       jj0=0, r=None, _quant16=None, pos_bound=None):
     """Strip-blocked virtual-pivoting panel LU.
 
     ``panel``: (m, w) working-precision slab (values at ORIGINAL row
@@ -782,7 +782,20 @@ def strip_panel_pivots(panel, off, pos, panel_dtype=None, interpret=False,
     <= the current diagonal never change again).  No position->row map is
     maintained; callers compose their global row maps boundedly from
     ``glist`` + ``pos``.  The low-precision factors are discarded
-    (reference semantics, `MPF.cu:120-145`)."""
+    (reference semantics, `MPF.cu:120-145`).
+
+    Dead rows (round 5, deferred-exchange driver): ``pos`` entries equal to
+    ``2**31 - 1`` mark rows whose true value lives elsewhere (stale
+    physical copies, unused overflow slots).  The sentinel is excluded from
+    the pivot search, swaps, and elimination in BOTH posk encodings —
+    quant16: posk = 131070 - (sentinel << 1 mod 2^32) = 131072 > every
+    id2; exact: posk = -2 fails every >= d2 test — and round-trips
+    bit-exactly through ``_posk_final`` (logical shift of -2 = the
+    sentinel).  ``pos_bound``: exclusive upper bound of LIVE position
+    values (defaults to m); the quant16 single-reduce search packs
+    positions into a 16-bit inverted field, so it is gated on the position
+    RANGE, not the slab height (a deferred-exchange slab is m_logical +
+    overflow rows tall while its positions stay < m_logical)."""
     import os
 
     m, w = panel.shape
@@ -799,12 +812,22 @@ def strip_panel_pivots(panel, off, pos, panel_dtype=None, interpret=False,
         # sweep legs)
         _quant16 = (
             panel_dtype == jnp.bfloat16
-            and m <= 65536
+            and (pos_bound if pos_bound is not None else m) <= 65536
             and os.environ.get("MPF_QUANT16", "1") != "0"
+        )
+    stub = os.environ.get("MPF_A1_STUB", "")  # timing attribution ONLY
+    if stub and not gm:
+        # only the group-major kernel implements the stubs — a silent
+        # un-stubbed (correct!) run would mislead timing attribution
+        # (ADVICE r4 item 1)
+        raise RuntimeError(
+            f"MPF_A1_STUB={stub!r} requires the group-major kernel "
+            f"(m % 1024 == 0 and MPF_GM != 0; got m={m}, "
+            f"MPF_GM={os.environ.get('MPF_GM', '1')!r})"
         )
     fn = _build_strip_pivot(
         m, w, r, panel.dtype.name, panel_dtype.name, interpret, _quant16, gm,
-        os.environ.get("MPF_A1_STUB", ""),  # timing attribution ONLY
+        stub,
         gm and os.environ.get("MPF_A1_V2", "0") == "1",
         gm and os.environ.get("MPF_A1_DEFER", "full") == "full",
     )

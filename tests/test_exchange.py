@@ -120,6 +120,47 @@ def test_rows_exchange_larger_band():
     np.testing.assert_array_equal(got, exp)
 
 @pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
+@pytest.mark.parametrize("frac", [0.0, 0.3, 1.0])
+def test_flush_overflow(dtype, frac):
+    """Deferred-exchange flush: a[dests[i]] = a[nov + i] for live slots
+    (dead slots carry the 2**31-1 sentinel), at 0 / partial / full slot
+    occupancy."""
+    from mpf_tpu.ops.exchange import flush_overflow
+
+    rng = np.random.default_rng(hash((str(dtype), frac)) % 2**32)
+    n, w, ov = 192, 128, 64
+    sent = 2**31 - 1
+    a = rng.standard_normal((n + ov, w)).astype(dtype)
+    nlive = int(round(frac * ov))
+    dd = rng.choice(n, size=nlive, replace=False)
+    dests = np.full(ov, sent, np.int64)
+    dests[rng.choice(ov, size=nlive, replace=False)] = dd
+    out = np.asarray(
+        flush_overflow(jnp.asarray(a), n, jnp.asarray(dests, jnp.int32),
+                       interpret=True).astype(jnp.float32)
+    )
+    exp = np.asarray(a, np.float32).copy()
+    for i in range(ov):
+        if dests[i] != sent:
+            exp[dests[i]] = np.asarray(a[n + i], np.float32)
+    np.testing.assert_array_equal(out[:n], exp[:n])
+
+
+def test_copy_rows_block():
+    from mpf_tpu.ops.exchange import copy_rows_block
+
+    rng = np.random.default_rng(21)
+    a = rng.standard_normal((256, 128)).astype(jnp.bfloat16)
+    out = np.asarray(
+        copy_rows_block(jnp.asarray(a), 32, 192, 64, interpret=True
+                        ).astype(jnp.float32)
+    )
+    exp = np.asarray(a, np.float32).copy()
+    exp[192:256] = exp[32:96]
+    np.testing.assert_array_equal(out, exp)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
 def test_rows_exchange_xsel_roll_bitexact(dtype, monkeypatch):
     """MPF_XSEL=roll (uniform sublane rotate row extraction, round 4) must
     be BIT-identical to the masked-sum default — a rotate moves values,
