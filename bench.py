@@ -54,9 +54,14 @@ def _measure_factor(n, r, block, policy, super_block="auto", gen=None):
     gen = gen or matgen.hpl_ai_matrix_device
     fac = mpf_tpu.make_mpf(n, r=r, policy=policy, block=block, donate=True,
                            super_block=super_block)
+    # deferred-exchange overflow rows generated in-buffer (zero-copy
+    # rectangular entry; 0 when deferral is off for this config)
+    from mpf_tpu.models.mpf import defer_extension
+
+    ov = defer_extension(n, r=r, policy=policy, block=block)
 
     def run(_):
-        return fac(gen(n, seed=0))
+        return fac(gen(n, seed=0, ext_rows=ov))
 
     try:
         secs, _ = time_fn(run, 0, warmup=1, iters=3)
@@ -68,7 +73,8 @@ def _measure_factor(n, r, block, policy, super_block="auto", gen=None):
         print(f"WARNING: n={n} super_block=auto failed ({_short_err(e)}); "
               "retrying two-level", file=sys.stderr)
         return _measure_factor(n, r, block, policy, super_block=None, gen=gen)
-    gsecs, _ = time_fn(lambda _: gen(n, seed=0), 0, warmup=1, iters=2)
+    gsecs, _ = time_fn(lambda _: gen(n, seed=0, ext_rows=ov), 0,
+                       warmup=1, iters=2)
     return max(secs - gsecs, 1e-9)
 
 

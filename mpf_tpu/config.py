@@ -63,6 +63,28 @@ def lookahead() -> bool:
     return False
 
 
+def u12_precision(default):
+    """``MPF_U12_PREC``: MXU pass count for the fp32-working OUTER U12 TRSM
+    (the `_trailing_update` ``linv @ A12`` dot).  The round-5 32k cost model
+    (STATUS) puts the 262 ms outer stage at ~110 ms bf16-GEMM MXU floor +
+    ~60 ms fp32 A22 RMW + ~65 ms of THIS dot at fp32-HIGHEST (6-pass MXU
+    emulation).  ``high`` (3-pass: drops the lo*lo cross term, relative
+    error ~2^-18 per product vs fp32's 2^-24) halves the U12 flop tax; the
+    panel factors and trailing accumulation are untouched.  Read at TRACE
+    time — A/B harnesses must build fresh closures (make_mpf.__wrapped__),
+    never flip the env under the lru cache."""
+    import jax as _jax
+
+    env = os.environ.get("MPF_U12_PREC", "")
+    if not env:
+        return default
+    return {
+        "high": _jax.lax.Precision.HIGH,
+        "highest": _jax.lax.Precision.HIGHEST,
+        "default": _jax.lax.Precision.DEFAULT,
+    }[env]
+
+
 def force_kernels() -> bool:
     """``MPF_FORCE_KERNELS=1``: drive the Pallas kernel paths through the
     DRIVER on a non-TPU backend (kernels run in interpret mode).  CI hook

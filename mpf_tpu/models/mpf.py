@@ -250,7 +250,10 @@ def _fused_ok(n: int, k: int, bc: int, r: int, policy, pivot, panel_kernel,
         return False
     q = _pad_quantum(n)
     m = min(n, -((k - n) // q) * q) + ov
-    if m % min(512, m):  # rb self-adjusts down to the 512 floor
+    # rb self-adjusts down by halving (512 floor preferred for grid-step
+    # amortization; at chip shapes ov = S*block keeps m % 512 == 0 — the
+    # finer 128 floor only admits the small-shape test geometries)
+    if m % min(512 if ov == 0 else 128, m):
         return False
     # transposed panel must fit VMEM next to the strip buffers (v5e VMEM is
     # 128 MB; n=65536 bf16 panels need ~17 MB)
@@ -532,12 +535,16 @@ def _trailing_update(a, ks: int, kw: int, ce: int, policy, fprec, lu_diag, r,
     else:
         # U12 block: L11^{-1} A12 via log-depth blocked triangular inverse
         # (``linv`` precomputed by the lookahead driver, which splits the
-        # update narrow/wide and must not invert the diagonal twice)
+        # update narrow/wide and must not invert the diagonal twice).
+        # MPF_U12_PREC (round 5): the 32k cost model puts ~65 ms of the
+        # 262 ms outer stage on this dot at fp32-HIGHEST (6-pass MXU);
+        # "high" (3-pass) halves that at ~2^-18 relative error.
         if linv is None:
             linv = unit_lower_inv_blocked(lu_diag, base=min(r, 128))
         a12 = jax.lax.dynamic_slice(a, (ks, e), (kw, w))
         u12 = jnp.dot(
-            linv, a12, preferred_element_type=policy.accum, precision=fprec
+            linv, a12, preferred_element_type=policy.accum,
+            precision=config.u12_precision(fprec),
         ).astype(a.dtype)
         a = jax.lax.dynamic_update_slice(a, u12, (ks, e))
     # trailing update at true (static) sizes — the O(n^3) hot GEMM
@@ -691,11 +698,18 @@ def _deferred_factorize(a, r, policy, fprec, block, ipiv, info, perm_total,
         copy_rows_block,
     )
 
-    n = a.shape[0]
+    n = a.shape[1]
     ov = S * block
     sent = jnp.int32(_SENT)
-    a_ext = jnp.zeros((n + ov, n), a.dtype)
-    a_ext = jax.lax.dynamic_update_slice(a_ext, a, (0, 0))
+    if a.shape[0] == n + ov:
+        # pre-extended input (rectangular (n + ov, n)): the bottom ov rows
+        # are the overflow region, initial values don't-care.  This is the
+        # zero-copy entry for n=65536 bf16, where extending an (n, n) input
+        # in-trace keeps BOTH buffers alive (8 + 9 GB > 15.75 GB HBM).
+        a_ext = a
+    else:
+        a_ext = jnp.zeros((n + ov, n), a.dtype)
+        a_ext = jax.lax.dynamic_update_slice(a_ext, a, (0, 0))
     posg = jnp.concatenate([_iota(n), jnp.full((ov,), sent, jnp.int32)])
     xoff = config.ablate("exchange")
     nb = [k for k in range(0, n, block) if n - k > 1]
@@ -761,7 +775,7 @@ def _deferred_factorize(a, r, policy, fprec, block, ipiv, info, perm_total,
 
 
 def _resolve_defer(n: int, block: int, r: int, policy, pivot, panel_kernel,
-                   defer) -> int:
+                   defer, pre_extended: bool = True) -> int:
     """Group size S for the deferred-overflow exchange, or 0 (off).
 
     ``defer``: explicit int S / True (= env or default S) / False / None
@@ -779,8 +793,30 @@ def _resolve_defer(n: int, block: int, r: int, policy, pivot, panel_kernel,
         return 0
     s = 0
     if defer == "auto":
-        if jnp.dtype(policy.working) == jnp.bfloat16 and n >= 49152:
-            s = int(os.environ.get("MPF_DEFER_S", "8"))
+        # Chip A/B verdict (round 5, tools/chip_logs_r5_defer_t64.log):
+        # deferral LOSES at the 64k north star on BOTH corpora — hpl 1763.9
+        # vs 1474.2 ms, uniform 2198.5 vs 1904.1 (S=8).  The structural
+        # cost is the overflow strip riding EVERY trailing GEMM and slab
+        # kernel (+S*block rows = +12.5% GEMM rows ~ +181 ms MXU at 64k,
+        # +~70 ms extended-slab A1/B), while the expected exchange saving
+        # never materialized: pivot-row GATHER visits dominate the
+        # pivot-heavy exchange, and the eager combined kernel already
+        # shares each window visit between sources and dests — deferring
+        # dests removes the write-back but not the visit.  auto = OFF;
+        # the machinery stays correct (bit-exact parity tests + chip val)
+        # behind explicit defer=S / MPF_DEFER=S.
+        s = 0
+        env_s = os.environ.get("MPF_DEFER_AUTO_S", "")
+        if env_s and jnp.dtype(policy.working) == jnp.bfloat16 and n >= 49152:
+            s = int(env_s)
+        if s and not pre_extended:
+            # square input at the HBM edge: the in-trace extension keeps
+            # matrix + extended buffer alive side by side — auto stays off
+            # there (explicit defer=S is honored on the caller's head;
+            # pre-extend via `defer_extension` + a rectangular input)
+            it = jnp.dtype(policy.working).itemsize
+            if it * n * (2 * n + s * block) > int(14.5e9):
+                s = 0
     elif defer is True:
         s = int(os.environ.get("MPF_DEFER_S", "8"))
     else:
@@ -802,6 +838,30 @@ def _resolve_defer(n: int, block: int, r: int, policy, pivot, panel_kernel,
         if n - k > 1
     )
     return s if ok else 0
+
+
+def _auto_block(n: int, r: int, policy, block: int | None) -> int:
+    """Chip-measured auto block rule (STATUS.md round-3 A/B ledger): the
+    wide block pays only where the fp32 trailing RMW dominates the panel
+    overhead it adds — n=32768 fp32-working: 466.7 ms at 2048 vs 493.5 at
+    1024; but n=16384 fp32: 86.7 at 1024 vs 105.2 at 2048, and n=65536
+    bf16: 1522 at 1024 vs 1786 at 2048."""
+    if block is None:
+        wide = n >= 32768 and jnp.dtype(policy.working) == jnp.dtype(jnp.float32)
+        block = max(r, min(n, 2048 if wide else 1024))
+    return max(block, r)
+
+
+def defer_extension(n: int, r: int = 128, policy=MPF_BF16,
+                    block: int | None = None, defer=None,
+                    pivot: bool = True) -> int:
+    """Overflow rows the deferred-exchange driver will append for this
+    config (0 = deferral off).  Callers at the HBM edge (n=65536 bf16:
+    8.6 GB matrix) should pre-extend their input to ``(n + ov, n)`` —
+    bottom rows don't-care — so the driver takes the zero-copy rectangular
+    entry instead of materializing matrix + extension side by side."""
+    block = _auto_block(n, r, policy, block)
+    return _resolve_defer(n, block, r, policy, pivot, None, defer) * block
 
 
 def mpf_factorize_traced(
@@ -827,12 +887,13 @@ def mpf_factorize_traced(
     default "auto": on for bf16 working at n >= 49152).  See
     `_deferred_factorize`.
     """
-    n = a.shape[0]
-    if a.shape != (n, n):
-        raise ValueError(f"expected square matrix, got {a.shape}")
+    n = a.shape[1]
+    ov_in = a.shape[0] - n  # rectangular (n + ov, n): pre-extended deferred
+    if ov_in < 0:
+        raise ValueError(f"expected square or row-extended matrix, got {a.shape}")
     a = a.astype(policy.working)
 
-    n_pad = _pad_target(n, r, policy, pivot, panel_kernel)
+    n_pad = 0 if ov_in else _pad_target(n, r, policy, pivot, panel_kernel)
     if n_pad:
         apad = jnp.zeros((n_pad, n_pad), a.dtype)
         apad = jax.lax.dynamic_update_slice(apad, a, (0, 0))
@@ -851,15 +912,7 @@ def mpf_factorize_traced(
             perm=res.perm[:n] if res.perm is not None else None,
         )
 
-    if block is None:
-        # chip-measured auto rule (STATUS.md round-3 A/B ledger): the wide
-        # block pays only where the fp32 trailing RMW dominates the panel
-        # overhead it adds — n=32768 fp32-working: 466.7 ms at 2048 vs
-        # 493.5 at 1024; but n=16384 fp32: 86.7 at 1024 vs 105.2 at 2048,
-        # and n=65536 bf16: 1522 at 1024 vs 1786 at 2048.
-        wide = n >= 32768 and jnp.dtype(policy.working) == jnp.dtype(jnp.float32)
-        block = max(r, min(n, 2048 if wide else 1024))
-    block = max(block, r)
+    block = _auto_block(n, r, policy, block)
     S = _resolve_super(n, block, super_block)
     fprec = _mm_precision(a)
 
@@ -872,6 +925,7 @@ def mpf_factorize_traced(
     # shapes satisfy `gemm_trailing`'s tile alignment.
     looka = (
         pivot
+        and not ov_in  # rectangular input is deferred-exchange-only
         and (config.lookahead() if lookahead is None else lookahead)
         and S is None
         and config.combined_exchange()
@@ -901,13 +955,25 @@ def mpf_factorize_traced(
     # window-sweep flush per group (pivot-heavy-corpus exchange cost)
     if pivot and not looka and S is None and not config.ablate("slabio"):
         S_defer = _resolve_defer(n, block, r, policy, pivot, panel_kernel,
-                                 defer)
+                                 defer, pre_extended=ov_in > 0)
+        if ov_in and S_defer * block != ov_in:
+            raise ValueError(
+                f"row-extended input carries ov={ov_in} overflow rows but "
+                f"the deferred exchange resolved S={S_defer} (block={block}"
+                f", ov must equal S*block; pass defer={ov_in // block})"
+            )
         if S_defer:
             _, interp = config.kernels_on()
             return _deferred_factorize(
                 a, r, policy, fprec, block, ipiv, info, perm_total, interp,
                 S_defer,
             )
+    if ov_in:
+        raise ValueError(
+            "row-extended (pre-allocated overflow) input requires the "
+            "deferred-exchange path; it did not resolve "
+            f"(shape {a.shape}, block={block}, defer={defer!r})"
+        )
 
     for k in range(0, n, block):
         bc = min(block, n - k)

@@ -86,8 +86,8 @@ def _row_take(block, rmod, grows, xsel: str):
 
 
 def _rows_exchange_kernel(
-    r1_ref, pay1_ref, t1_ref, nxt1_ref, row2_ref, pay2_ref, t2_ref,
-    nxw_ref, kmeta_ref,
+    r1_ref, pay1_ref, t1_ref, nxt1_ref, nxt1b_ref,
+    row2_ref, pay2_ref, t2_ref, nxw1_ref, nxw2_ref, nxw3_ref, kmeta_ref,
     a_in_ref, a_ref, piv_ref, stg_ref,
     btile, wbuf, vbuf, stile, pend, wps, sems,
     *, nr: int, g: int, w: int, xsel: str = "masked",
@@ -95,28 +95,31 @@ def _rows_exchange_kernel(
     """See module docstring.  Scalar-prefetch layout:
 
     phase 1 (``n1 = kmeta[1]`` active entries, sorted by band row):
-      r1[e]   band-relative row to extract (0..nr-1)
-      t1[e]   0 = pivot source  -> pivrows[pay1[e]]
-              1 = displaced row -> staged[pay1[e]]  (phase-2 stream slot)
-      nxt1[e] NEXT distinct band tile after e's (or -1) — read prefetch
+      r1[e]     band-relative row to extract (0..nr-1)
+      t1[e]     0 = pivot source  -> pivrows[pay1[e]]
+                1 = displaced row -> staged[pay1[e]]  (phase-2 stream slot)
+      nxt1[e]   NEXT distinct band tile after e's (or -1) — read prefetch
+      nxt1b[e]  the tile after that (2-deep chain)
     phase 2 (``n2 = kmeta[2]`` active entries, sorted by (window, type)):
-      row2[e] global row; t2[e] 0 = source extract, 1 = dest overlay;
-      pay2[e] pivrows row for sources (unused for dests);
-      nxw[e]  NEXT distinct window after e's (or -1) — read prefetch
+      row2[e]   global row; t2[e] 0 = source extract, 1 = dest overlay;
+      pay2[e]   pivrows row for sources (unused for dests);
+      nxw1..3   the next 1..3 distinct windows after e's (or -1)
 
-    Both sweeps double/quad-buffer their big reads: the next tile/window's
-    DMA is started at the CURRENT switch (the schedules are sorted, so the
-    successor is known), hiding the read latency behind the current
-    segment's selects — on spread (uniform-corpus) patterns the sweep is
-    otherwise bound by ~65k sequential window-read round-trips per
-    factorization.
+    Round 5: the window ring is 8 slots with a 3-deep read-ahead chain and
+    the band tiles 4 slots with a 2-deep chain (ported from the
+    chip-validated `ops/gemmx.py` sweep; the slot of window ordinal W is
+    always W%8 so chain reads and reuse waits agree).  The round-3 form
+    (4-slot ring, read-ahead 1) left the pivot-heavy sweep round-trip
+    bound: the measured 64k uniform exchange moved its granule windows at
+    ~380 GB/s effective vs ~700 sustainable — each 2-4 MB window read's
+    issue latency was only one select-phase deep.
 
-    Scratch: ``btile`` (2, g, w) band tiles; ``wbuf`` (4, g, w) window
+    Scratch: ``btile`` (4, g, w) band tiles; ``wbuf`` (8, g, w) window
     ring (read-ahead + write-behind); ``vbuf`` (4, 1, w) outgoing
     single-row ring; ``stile`` (2, 8, 1, w) staged batches (ping-pong);
     ``pend`` SMEM (4, 2) = (kind, pos) pending write per vbuf slot;
-    ``wps`` SMEM (4, 2) = (pending?, window) per wbuf slot.  Sems: 0-3
-    vbuf, 4-7 window reads, 8-11 window writes, 12-13 band tiles, 14-15
+    ``wps`` SMEM (8, 2) = (pending?, window) per wbuf slot.  Sems: 0-3
+    vbuf, 4-11 window reads, 12-19 window writes, 20-23 band tiles, 24-25
     staged batches.
     """
     f32 = jnp.float32
@@ -178,11 +181,11 @@ def _rows_exchange_kernel(
             def _():
                 row_write_wait(s)
 
-    # ---- phase 1: band stream (tile reads double-buffered) ---------------
+    # ---- phase 1: band stream (4-slot tile ring, 2-deep read-ahead) ------
     def btile_read(t, slot):
         return pltpu.make_async_copy(
             a_ref.at[pl.ds(pl.multiple_of(kb + t * g, g), g), ci],
-            btile.at[slot], sems.at[12 + slot],
+            btile.at[slot], sems.at[20 + slot],
         )
 
     def p1_body(e, carry):
@@ -191,20 +194,25 @@ def _rows_exchange_kernel(
         tile = rowp // g
         tswitch = tile != last_tile
         tord = tord + tswitch.astype(jnp.int32)
-        ts = tord % 2
+        ts = tord % 4
 
         @pl.when(tswitch)
         def _():
             @pl.when(tord == 0)
-            def _():  # first tile: nobody prefetched it
+            def _():  # prime: this tile and its successor
                 btile_read(tile, ts).start()
+                nt0 = nxt1_ref[e]
+
+                @pl.when(nt0 >= 0)
+                def _():
+                    btile_read(nt0, (tord + 1) % 4).start()
 
             btile_read(tile, ts).wait()
-            nt = nxt1_ref[e]
+            nt = nxt1b_ref[e]
 
             @pl.when(nt >= 0)
-            def _():  # prefetch the next tile into the other slot
-                btile_read(nt, 1 - ts).start()
+            def _():  # keep two tiles of read-ahead
+                btile_read(nt, (tord + 2) % 4).start()
 
         val = _row_take(btile[ts], rowp % g, grows, xsel)
         wcnt = emit_row(wcnt, val, t1_ref[e], pay1_ref[e])
@@ -215,8 +223,8 @@ def _rows_exchange_kernel(
     )
     drain_ring(wcnt)  # phase 2 streams ``staged`` — all writes must land
 
-    # ---- phase 2: out-of-band window sweep (4-slot ring: read-ahead of
-    # the NEXT window + write-behind of closed dirty windows) --------------
+    # ---- phase 2: out-of-band window sweep (8-slot ring, 3-deep
+    # read-ahead + write-behind) -------------------------------------------
     def win_read(gr, slot):
         return pltpu.make_async_copy(
             a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), ci],
@@ -226,7 +234,7 @@ def _rows_exchange_kernel(
     def win_write(gr, slot):
         return pltpu.make_async_copy(
             wbuf.at[slot], a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), ci],
-            sems.at[8 + slot],
+            sems.at[12 + slot],
         )
 
     def wps_wait(slot):
@@ -239,10 +247,10 @@ def _rows_exchange_kernel(
     def stile_read(t, slot):
         return pltpu.make_async_copy(
             stg_ref.at[pl.ds(pl.multiple_of(t * 8, 8), 8)], stile.at[slot],
-            sems.at[14 + slot],
+            sems.at[24 + slot],
         )
 
-    for s in range(4):
+    for s in range(8):
         wps[s, 0] = 0
 
     def p2_body(e, carry):
@@ -251,34 +259,42 @@ def _rows_exchange_kernel(
         typ = t2_ref[e]
         gr = grow // g
         switch = (gr != last_gr) | (word < 0)
-        word = word + switch.astype(jnp.int32)  # window ordinal; slot word%4
-        cur = word % 4
+        word = word + switch.astype(jnp.int32)  # window ordinal; slot word%8
+        cur = word % 8
 
         @pl.when(switch)
         def _():
-            wps_wait(cur)  # slot reuse: ordinal word-4's write must land
+            wps_wait(cur)  # slot reuse: ordinal word-8's write must land
 
             @pl.when(word == 0)
-            def _():  # first window: nobody prefetched it
+            def _():  # prime the read-ahead chain (this window + 2 ahead)
                 win_read(gr, cur).start()
+                for d, nxd in ((1, nxw1_ref), (2, nxw2_ref)):
+                    nw0 = nxd[e]
 
-            win_read(gr, cur).wait()  # prefetched at the previous switch
+                    @pl.when(nw0 >= 0)
+                    def _():
+                        sl = (word + d) % 8
+                        wps_wait(sl)
+                        win_read(nw0, sl).start()
 
-            prev = (word + 3) % 4
+            win_read(gr, cur).wait()  # prefetched 3 switches ago
+
+            prev = (word + 7) % 8
 
             @pl.when((word > 0) & (dirty == 1))
             def _():  # close the previous window (write-behind)
-                wps_wait(prev)  # its slot's OLDER write (ordinal word-5)
+                wps_wait(prev)  # its slot's OLDER write (ordinal word-9)
                 win_write(last_gr, prev).start()
                 wps[prev, 0] = 1
                 wps[prev, 1] = last_gr
 
-            nw = nxw_ref[e]
+            nw = nxw3_ref[e]
 
             @pl.when(nw >= 0)
-            def _():  # read-ahead of the next distinct window
-                nslot = (word + 1) % 4
-                wps_wait(nslot)  # ordinal word-3's write must land first
+            def _():  # extend the read-ahead chain to depth 3
+                nslot = (word + 3) % 8
+                wps_wait(nslot)  # that slot's write must land first
                 win_read(nw, nslot).start()
 
         dirty = jnp.where(switch, jnp.int32(0), dirty)
@@ -346,13 +362,13 @@ def _rows_exchange_kernel(
 
     @pl.when((word >= 0) & (dirty == 1))
     def _():  # close the final window
-        cur = word % 4
+        cur = word % 8
         wps_wait(cur)
         win_write(last_gr, cur).start()
         wps[cur, 0] = 1
         wps[cur, 1] = last_gr
 
-    for s in range(4):
+    for s in range(8):
         wps_wait(s)
     drain_ring(wcnt2)
 
@@ -385,8 +401,8 @@ def _build_rows_exchange(n: int, wfull: int, nr: int,
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            # r1, pay1, t1, nxt1, row2, pay2, t2, nxw, kmeta
-            num_scalar_prefetch=9,
+            # r1, pay1, t1, nxt1, nxt1b, row2, pay2, t2, nxw1..3, kmeta
+            num_scalar_prefetch=12,
             grid=(),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],   # a (n, wfull)
             out_specs=(
@@ -395,13 +411,13 @@ def _build_rows_exchange(n: int, wfull: int, nr: int,
                 pl.BlockSpec(memory_space=pl.ANY),          # staged
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, g, w), dt),      # band tiles (double-buffered)
-                pltpu.VMEM((4, g, w), dt),      # window ring
+                pltpu.VMEM((4, g, w), dt),      # band tiles (4-slot ring)
+                pltpu.VMEM((8, g, w), dt),      # window ring
                 pltpu.VMEM((4, 1, w), sdt),     # outgoing row ring
                 pltpu.VMEM((2, 8, 1, w), sdt),  # staged batches (ping-pong)
                 pltpu.SMEM((4, 2), jnp.int32),  # pending (kind, pos)/vbuf slot
-                pltpu.SMEM((4, 2), jnp.int32),  # pending (flag, win)/wbuf slot
-                pltpu.SemaphoreType.DMA((16,)),
+                pltpu.SMEM((8, 2), jnp.int32),  # pending (flag, win)/wbuf slot
+                pltpu.SemaphoreType.DMA((26,)),
             ],
         ),
         out_shape=(
@@ -409,10 +425,10 @@ def _build_rows_exchange(n: int, wfull: int, nr: int,
             jax.ShapeDtypeStruct((nrp, 1, w), sdt),
             jax.ShapeDtypeStruct((nr8, 1, w), sdt),
         ),
-        input_output_aliases={9: 0},  # a, after the 9 scalar-prefetch args
+        input_output_aliases={12: 0},  # a, after the 12 scalar-prefetch args
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(min(
-                6 * g * w * dt.itemsize + 20 * w * sdt.itemsize
+                12 * g * w * dt.itemsize + 20 * w * sdt.itemsize
                 + 8 * w * 4 + (24 << 20),
                 120 << 20,
             )),
@@ -534,12 +550,13 @@ def rows_exchange(a, k, glist, dests, interpret=False):
     w = wfull
     g = _granule(a.dtype)
     nr = int(glist.shape[0])
-    kmeta, r1s, pay1, t1, (nxt1,), row2, pay2, t2, (nxw,) = (
-        build_exchange_schedules(n, k, glist, dests, g)
+    kmeta, r1s, pay1, t1, (nxt1, nxt1b), row2, pay2, t2, nxw123 = (
+        build_exchange_schedules(n, k, glist, dests, g,
+                                 tile_depth=2, win_depth=3)
     )
     a2, piv3, _ = _build_rows_exchange(
         n, wfull, nr, a.dtype.name, interpret, xsel_mode()
-    )(r1s, pay1, t1, nxt1, row2, pay2, t2, nxw, kmeta, a)
+    )(r1s, pay1, t1, nxt1, nxt1b, row2, pay2, t2, *nxw123, kmeta, a)
     # pivrows staging is fp32 (see _build_rows_exchange); exact for bf16
     return a2, piv3.reshape(nr, w).astype(a.dtype)
 
@@ -564,13 +581,13 @@ def flush_overflow(a, novstart: int, dests, interpret=False):
     g = _granule(a.dtype)
     nov = int(dests.shape[0])
     glist = novstart + jnp.arange(nov, dtype=jnp.int32)  # inert (sources off)
-    kmeta, r1s, pay1, t1, (nxt1,), row2, pay2, t2, (nxw,) = (
+    kmeta, r1s, pay1, t1, (nxt1, nxt1b), row2, pay2, t2, nxw123 = (
         build_exchange_schedules(n_ext, novstart, glist, dests, g,
-                                 sources=False)
+                                 tile_depth=2, win_depth=3, sources=False)
     )
     a2, _, _ = _build_rows_exchange(
         n_ext, wfull, nov, a.dtype.name, interpret, xsel_mode(), nrp=8
-    )(r1s, pay1, t1, nxt1, row2, pay2, t2, nxw, kmeta, a)
+    )(r1s, pay1, t1, nxt1, nxt1b, row2, pay2, t2, *nxw123, kmeta, a)
     return a2
 
 

@@ -550,15 +550,24 @@ def _strip_pivot_kernel_gm(
             mbuf = jnp.where(wrows3 == jc, mult3[None], mbuf)
             if "elim" in stub:  # timing-attribution stub (results WRONG)
                 return st, mbuf, olist, posk, piv, olog
-            # in-strip elimination: the winner row's value in every strip
-            # column at once (one nonzero per sum — exact in any order)
+            if jc + 1 == _W:  # last strip column: nothing right of it
+                return st, mbuf, olist, posk, piv, olog
+            # in-strip elimination, STATIC-SLICED to the columns right of jc
+            # (round 5, VERDICT r4 item 4): jc is unrolled, so both the
+            # winner-row extraction reduce and the rank-1 update run on
+            # (W-jc-1, 8, ml) instead of the full strip — the old full-width
+            # form computed the masked columns' x - 0 no-ops anyway
+            # (bit-identical; ~halves the in-strip VPU work, which the
+            # round-4 chip attribution put at ~34% of A1)
+            rest = st[jc + 1:]
             ucol = jnp.sum(
-                jnp.sum(jnp.where(winner[None], st, 0.0), axis=2,
+                jnp.sum(jnp.where(winner[None], rest, 0.0), axis=2,
                         keepdims=True),
                 axis=1, keepdims=True,
-            )                                                   # (W, 1, 1)
-            ucol = jnp.where(wrows3 > jc, ucol, 0.0)
-            st = st - ucol * mult3[None]
+            )                                                   # (W-jc-1,1,1)
+            st = jnp.concatenate(
+                [st[: jc + 1], rest - ucol * mult3[None]], axis=0
+            )
             return st, mbuf, olist, posk, piv, olog
 
         carry = (st, mbuf, olist, posk, piv, olog)

@@ -530,32 +530,135 @@ def _dist_super_far(aloc, s0, sbe, *, n, b, r, gp, gq, pp, qq, grows, gcols,
     return aloc.at[rtf:, ctf:].set(tail)
 
 
-def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy,
-                         super_block="auto"):
-    """Fused-kernel variant of :func:`_dist_lu_local`: the replicated (n, b)
-    block column is factored with the single-chip fused pipeline
-    (strip-blocked pivot kernel, rowblock assembly, streaming update —
-    `ops/panel_strip.py` / `ops/panel_fused.py`), so a (1, 1)-mesh run is
-    structurally the single-chip driver plus no-op collectives.
+def _dist_fused_panel_owner(ploc, pos0, *, off, k0, m, b, r, gp, pp, nlp,
+                            grows, policy, interpret=False):
+    """Owner-column panel factorization for the FUSED dist path (round 5,
+    VERDICT r4 item 5): the block-column slab stays ROW-SHARDED (``ploc``
+    is this device's (H, b) local rows); per r-wide inner panel only the
+    THIN (m, r) panel slice is all_gathered for the replicated Pallas strip
+    kernel (pivot selection — identical data on every device, so pivots
+    are bit-equal to the replicated path by construction), the r pivot
+    rows cross shards with one masked psum for the replicated rowblock
+    refactor (a jnp mirror of `_rowblock_kernel`'s value path — same
+    `_npv_inv_values`, same one-hot/precision choices), and the B-stage
+    streaming update — the DOMINANT m*b^2 panel term — runs on LOCAL rows
+    only: per-device panel flops m*b*r (replicated A1, the r/b fraction) +
+    m*b^2/P (sharded B) instead of the replicated path's m*b^2.
 
-    Panel replication tradeoff (round 4): the jnp path's owner-column /
-    row-sharded panel (:func:`_dist_lu_local_owner`) scales per-device
-    panel flops as 1/P but pays 3 ROW-axis collectives per panel COLUMN —
-    the Pallas strip kernel cannot host per-column mesh collectives, so
-    the fused path keeps the replicated panel: constant per-device panel
-    cost, but only 2 collectives per panel and the chip-proven kernels.
-    Panel work is O(n^2 b) of the O(n^3) total, so replication costs
-    ~b/n·P of ideal scaling — acceptable at production shapes (b=1024,
-    n>=32768, P<=4); the owner path is the template if larger meshes make
-    it the wall.  The step
-    loop is unrolled at trace time (static offsets, like the single-chip
-    outer loop).  Three-level blocking (`super_block`, same resolution rule
-    as the single-chip driver): per-step trailing work is confined to the
-    superblock's remaining columns and the far window is updated once per
-    superblock by :func:`_dist_super_far`."""
+    Returns ``(ploc', pos (m,), piv (b,), olog (b,), u_all (b, b),
+    info)`` — all window-local like `_factor_block_column_fused`."""
+    from mpf_tpu.models.mpf import _FUSED_RB
+    from mpf_tpu.ops.panel_strip import strip_panel_pivots
+    from mpf_tpu.ops.panel_fused import _npv_inv_values, panel_apply_update_trim
+
+    f32 = jnp.float32
+    w = ploc.dtype
+    h = ploc.shape[0]
+    n = m + k0
+    hi = jax.lax.Precision.HIGHEST if w == f32 else None
+    gemm_bf16 = (
+        jnp.dtype(policy.gemm_in) == jnp.bfloat16
+        and jnp.dtype(policy.working) != jnp.bfloat16
+    )
+    # smallest UNIFORM local window containing every device's rows >= k0
+    l0 = min((k0 // b) // gp, nlp - 1) * b
+    hw = h - l0
+    rb = min(_FUSED_RB, hw)
+    while hw % rb:
+        rb //= 2
+    lanebc = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+
+    pos = pos0
+    info = jnp.int32(0)
+    pivs, ologs, rowblocks = [], [], []
+    for t in range(b // r):
+        jj0 = t * r
+        # -- A1: replicated thin panel slice + Pallas strip pivot kernel --
+        psl_loc = jax.lax.dynamic_slice(ploc, (0, jj0), (h, r))
+        parts = jax.lax.all_gather(psl_loc, ROW_AXIS)        # (gp, H, r)
+        psl = parts.reshape(gp, nlp, b, r).transpose(1, 0, 2, 3)
+        psl = psl.reshape(n, r)[k0:]                          # (m, r) global order
+        piv_t, pos, olog_t = strip_panel_pivots(
+            psl, (off - k0) + jj0, pos, panel_dtype=policy.panel,
+            interpret=interpret, jj0=0, r=r, pos_bound=m,
+        )
+        # -- A2: one masked psum gathers the r pivot rows; replicated
+        # refactor mirrors `_rowblock_kernel`'s value path op-for-op ------
+        owner_g, lrow_g = owner_local_row(k0 + olog_t, b, gp)
+        mine = owner_g == pp
+        rws = jnp.take(ploc, jnp.where(mine, lrow_g, 0), axis=0)
+        staged = jax.lax.psum(
+            jnp.where(mine[:, None], rws, jnp.zeros_like(rws)), ROW_AXIS
+        )                                                     # (r, b)
+        diag = jax.lax.dynamic_slice(staged, (0, jj0), (r, r)).astype(f32)
+        lu_d, linv, uinv, info_k = _npv_inv_values(diag, r)
+        info = jnp.where((info == 0) & (info_k[0, 0] > 0),
+                         info_k[0, 0] + jj0, info)
+        u12 = jnp.dot(linv.astype(w) if w != f32 else linv, staged,
+                      preferred_element_type=f32, precision=hi)
+        e2 = (lanebc == jj0 + rr).astype(w)
+        placed = jnp.dot(lu_d.astype(w), e2, preferred_element_type=f32,
+                         precision=hi)
+        in_panel = (lanebc >= jj0) & (lanebc < jj0 + r)
+        left = lanebc < jj0
+        rowblock = jnp.where(
+            in_panel, placed.astype(w), jnp.where(left, staged,
+                                                  u12.astype(w))
+        )
+        # -- B: streaming update on LOCAL rows only (the 1/P term) --------
+        vposl = jnp.where(
+            grows >= k0,
+            jnp.take(pos, jnp.maximum(grows - k0, 0), mode="clip"),
+            jnp.int32(-1),  # frozen local rows above the window
+        )
+        sl = jax.lax.dynamic_slice(ploc, (l0, 0), (hw, b))
+        sl = panel_apply_update_trim(
+            sl, vposl[l0:], rowblock, uinv.astype(w), (off - k0) + jj0,
+            jj0, rb=rb, gemm_bf16=gemm_bf16, interpret=interpret,
+        )
+        ploc = jax.lax.dynamic_update_slice(ploc, sl, (l0, 0))
+        pivs.append(piv_t)
+        ologs.append(olog_t)
+        rowblocks.append(rowblock)
+    piv = pivs[0] if len(pivs) == 1 else jnp.concatenate(pivs)
+    olog = ologs[0] if len(ologs) == 1 else jnp.concatenate(ologs)
+    u_all = (rowblocks[0] if len(rowblocks) == 1
+             else jnp.concatenate(rowblocks))
+    return ploc, pos, piv, olog, u_all, info
+
+
+def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy,
+                         super_block="auto", owner_panel=False):
+    """Fused-kernel variant of :func:`_dist_lu_local`: the block column is
+    factored with the single-chip fused pipeline (strip-blocked pivot
+    kernel, rowblock assembly, streaming update — `ops/panel_strip.py` /
+    `ops/panel_fused.py`), so a (1, 1)-mesh run is structurally the
+    single-chip driver plus no-op collectives.
+
+    ``owner_panel`` (round 5, VERDICT r4 item 5): keep the block-column
+    slab ROW-SHARDED and run the panel stage via
+    :func:`_dist_fused_panel_owner` — per-device panel flops scale as
+    m*b*r (replicated A1 on thin (m, r) all_gathered slices) + m*b^2/P
+    (B-stage on local rows), instead of the replicated path's constant
+    m*b^2.  Pivot selection still runs on replicated data, so pivots are
+    bit-equal to the replicated path by construction (tested on the CPU
+    mesh).  Default for the fused path when three-level blocking is off.
+
+    Replicated fallback (round 4 analysis): constant per-device panel
+    cost, 2 collectives per block column, chip-proven kernels end to end;
+    panel work is O(n^2 b) of the O(n^3) total, so replication costs
+    ~b/n*P of ideal scaling.  The step loop is unrolled at trace time
+    (static offsets, like the single-chip outer loop).  Three-level
+    blocking (`super_block`, same resolution rule as the single-chip
+    driver): per-step trailing work is confined to the superblock's
+    remaining columns and the far window is updated once per superblock by
+    :func:`_dist_super_far` (replicated-panel mode only)."""
     from mpf_tpu.models.mpf import _resolve_super
 
     S = _resolve_super(n, b, super_block)
+    if S is not None:
+        owner_panel = False  # superblock deferral needs the replicated panel
     aloc = tile[0, 0]
     h, w = aloc.shape
     pp = jax.lax.axis_index(ROW_AXIS)
@@ -574,10 +677,18 @@ def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy,
         parts = jax.lax.all_gather(colsl, ROW_AXIS)          # (P, H, b)
         return parts.reshape(gp, nlp, b, b).transpose(1, 0, 2, 3).reshape(n, b)
 
+    def gather_panel_local(aloc, k):
+        """Local rows of block column k, COL-psum only (owner-panel mode)."""
+        jl = min(k // gq, nlq - 1)
+        colsl = aloc[:, jl * b : (jl + 1) * b]
+        return jax.lax.psum(
+            jnp.where(qq == k % gq, colsl, jnp.zeros_like(colsl)), COL_AXIS
+        )
+
     ipiv = rows_g + 1
     info = jnp.int32(0)
     permc = rows_g
-    panel = gather_panel(aloc, 0)
+    panel = gather_panel_local(aloc, 0) if owner_panel else gather_panel(aloc, 0)
 
     from mpf_tpu.models.mpf import _pad_quantum
 
@@ -586,23 +697,32 @@ def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy,
         qk, pk = k % gq, k % gp
         jl, il = k // gq, k // gp
 
-        # -- replicated fused block-column factorization on the shrinking
-        # tail window (rows above k0 can neither pivot nor update — same
-        # quantized windowing as the single-chip driver) -------------------
+        # -- fused block-column factorization on the shrinking tail window
+        # (rows above k0 can neither pivot nor update — same quantized
+        # windowing as the single-chip driver) ------------------------------
         q = _pad_quantum(n)
         m = min(n, -((off - n) // q) * q)
         k0 = n - m
-        sub = panel[k0:, :]
-        sub, pos_l, olog_l, piv_l, u_all, info_b = (
-            _factor_block_column_fused(sub, off - k0, r, policy)
-        )
-        panel = panel.at[k0:, :].set(sub)
+        if owner_panel:
+            pos0 = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
+            panel, pos_l, piv_l, olog_l, u_all, info_b = (
+                _dist_fused_panel_owner(
+                    panel, pos0, off=off, k0=k0, m=m, b=b, r=r, gp=gp, pp=pp,
+                    nlp=nlp, grows=grows, policy=policy,
+                )
+            )
+        else:
+            sub = panel[k0:, :]
+            sub, pos_l, olog_l, piv_l, u_all, info_b = (
+                _factor_block_column_fused(sub, off - k0, r, policy)
+            )
+            panel = panel.at[k0:, :].set(sub)
         info = jnp.where((info == 0) & (info_b > 0), info_b + off, info)
         ipiv = ipiv.at[off : off + b].set(k0 + piv_l + 1)
 
-        # bounded exchange on the replicated panel (virtual -> physical),
-        # composed-map structure: the band receives the pivot rows (olog),
-        # the displaced band occupants go to their final positions (pos)
+        # bounded exchange on the panel (virtual -> physical), composed-map
+        # structure: the band receives the pivot rows (olog), the displaced
+        # band occupants go to their final positions (pos)
         band_idx = (off - k0) + jax.lax.broadcasted_iota(
             jnp.int32, (b, 1), 0
         )[:, 0]
@@ -613,16 +733,35 @@ def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy,
         # ("duplicates iff values identical") explicitly allows.
         cand = jnp.concatenate([k0 + band_idx, dests_b])
         src_g = jnp.concatenate([k0 + olog_l, k0 + band_idx])
-        moved = jax.lax.optimization_barrier(jnp.take(panel, src_g, axis=0))
-        if config.use_pallas() and jax.default_backend() == "tpu":
-            from mpf_tpu.ops.panel_fused import rows_scatter_inplace
-
-            # in-place RMW scatter (XLA row scatter rewrites the whole
-            # panel buffer); self-moves (pivot already in place) skip
-            panel = rows_scatter_inplace(panel, cand, moved, self_src=src_g)
+        if owner_panel:
+            # sharded panel exchange: the <=2b moved rows cross shards via
+            # one masked psum, then the finished band rows (u_all,
+            # replicated) overwrite their owners' local rows
+            owner_ps, lrow_ps = owner_local_row(src_g, b, gp)
+            mine_ps = owner_ps == pp
+            pr = jnp.take(panel, jnp.where(mine_ps, lrow_ps, 0), axis=0)
+            pr = jnp.where(mine_ps[:, None], pr, jnp.zeros_like(pr))
+            pr = jax.lax.psum(pr, ROW_AXIS)                  # (2b, b)
+            owner_pc, lrow_pc = owner_local_row(cand, b, gp)
+            pidx = jnp.where(owner_pc == pp, lrow_pc, h)
+            panel = panel.at[pidx, :].set(pr, mode="drop")
+            bpos = off + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
+            owner_u, lrow_u = owner_local_row(bpos, b, gp)
+            uidx = jnp.where(owner_u == pp, lrow_u, h)
+            panel = panel.at[uidx, :].set(u_all, mode="drop")
         else:
-            panel = panel.at[cand, :].set(moved)
-        panel = jax.lax.dynamic_update_slice(panel, u_all, (off, 0))
+            moved = jax.lax.optimization_barrier(
+                jnp.take(panel, src_g, axis=0))
+            if config.use_pallas() and jax.default_backend() == "tpu":
+                from mpf_tpu.ops.panel_fused import rows_scatter_inplace
+
+                # in-place RMW scatter (XLA row scatter rewrites the whole
+                # panel buffer); self-moves (pivot already in place) skip
+                panel = rows_scatter_inplace(panel, cand, moved,
+                                             self_src=src_g)
+            else:
+                panel = panel.at[cand, :].set(moved)
+            panel = jax.lax.dynamic_update_slice(panel, u_all, (off, 0))
         pc_old = permc
         permc = permc.at[off + jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
                          ].set(jnp.take(pc_old, k0 + olog_l))
@@ -648,10 +787,15 @@ def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy,
             scatter_idx = jnp.where(owner_c == pp, lrow_c, h)
             aloc = aloc.at[scatter_idx, :].set(srows, mode="drop")
 
-        # -- panel writeback (strided block slice, no row gather) ----------
-        pmine = panel.reshape(n // (gp * b), gp, b, b)
-        pmine = jax.lax.dynamic_index_in_dim(pmine, pp, axis=1, keepdims=False)
-        pmine = pmine.reshape(h, b)
+        # -- panel writeback (local rows ARE the shard in owner mode;
+        # strided block slice otherwise — no row gather either way) --------
+        if owner_panel:
+            pmine = panel
+        else:
+            pmine = panel.reshape(n // (gp * b), gp, b, b)
+            pmine = jax.lax.dynamic_index_in_dim(pmine, pp, axis=1,
+                                                 keepdims=False)
+            pmine = pmine.reshape(h, b)
         cur = aloc[:, jl * b : (jl + 1) * b]
         aloc = aloc.at[:, jl * b : (jl + 1) * b].set(
             jnp.where(qq == qk, pmine, cur)
@@ -721,7 +865,8 @@ def _dist_lu_local_fused(tile, *, n, b, r, gp, gq, nb, policy,
             aloc = aloc.at[rt:, jl2 * b : (jl2 + 1) * b].set(
                 jnp.where(qq == qk2, newn, curn)
             )
-            panel = gather_panel(aloc, k + 1)
+            panel = (gather_panel_local(aloc, k + 1) if owner_panel
+                     else gather_panel(aloc, k + 1))
             cidx = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0)[:, 0] // b
             skip = (qq == qk2) & (cidx == jl2)
             u12m = jnp.where(skip[None, :], 0, u12m)
@@ -760,9 +905,14 @@ def make_dist_lu(n: int, b: int, mesh, policy: PrecisionPolicy = MPF_BF16,
     gp, gq = mesh.shape[ROW_AXIS], mesh.shape[COL_AXIS]
     nb = check_dims(n, b, gp, gq)
     if _dist_fused_ok(n, b, r, policy, pivot):
+        # round 5 default: owner-column panel (sharded B-stage -> per-device
+        # panel flops ~1/P; MPF_DIST_FUSED_PANEL=replicated restores the
+        # round-4 replicated-panel form)
         body = functools.partial(
             _dist_lu_local_fused, n=n, b=b, r=r, gp=gp, gq=gq, nb=nb,
             policy=policy, super_block=super_block,
+            owner_panel=os.environ.get("MPF_DIST_FUSED_PANEL", "owner")
+            == "owner",
         )
     elif os.environ.get("MPF_DIST_PANEL", "owner") == "owner":
         # round 4 default for the jnp path: row-sharded panel work (1/P

@@ -207,3 +207,84 @@ def test_owner_panel_matches_single_chip_fp32(monkeypatch):
     assert np.abs(np.asarray(res_d.lu) - np.asarray(res_s.lu)).max() <= (
         1e-5 * scale
     )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("shape", [(2, 2), (4, 2)])
+def test_dist_fused_owner_bitexact_vs_replicated(shape, monkeypatch):
+    """Owner-column panel for the FUSED dist path (round 5, VERDICT r4
+    item 5): pivot selection runs on replicated thin panel slices and the
+    B-stage on local rows, so pivots/perm must be BIT-identical to the
+    replicated-panel fused path; factors too (fp32 working — the CPU
+    backend's bf16 GEMM is shape-sensitive per element, see
+    tests/test_defer.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+    import mpf_tpu.config as cfg
+    import mpf_tpu.models.mpf as M
+    from mpf_tpu.parallel.dist_lu import make_dist_lu, _dist_fused_ok
+    from mpf_tpu.precision import PURE_FP32
+
+    ndev = shape[0] * shape[1]
+    mesh = make_mesh(shape, devices=jax.devices()[:ndev])
+    n, b, r = (256 if shape == (2, 2) else 512), 128, 8
+    a = matgen.random_dense(n, seed=21).astype(np.float32)
+    tiles = to_block_cyclic(jnp.asarray(a), shape[0], shape[1], b)
+    monkeypatch.setattr(M, "_PAD_QUANTUM", 128)
+    monkeypatch.setattr(M, "_FUSED_RB", 128)
+    monkeypatch.setattr(cfg, "_USE_PALLAS", "1")
+    assert _dist_fused_ok(n, b, r, PURE_FP32, True)
+    outs = {}
+    for mode in ("owner", "replicated"):
+        monkeypatch.setenv("MPF_DIST_FUSED_PANEL", mode)
+        with pltpu.force_tpu_interpret_mode():
+            outs[mode] = jax.tree.map(
+                np.asarray, make_dist_lu(n, b, mesh, PURE_FP32, r=r)(tiles)
+            )
+    (t_o, ip_o, in_o, pm_o), (t_r, ip_r, in_r, pm_r) = (
+        outs["owner"], outs["replicated"]
+    )
+    np.testing.assert_array_equal(ip_o, ip_r)
+    np.testing.assert_array_equal(pm_o, pm_r)
+    np.testing.assert_array_equal(in_o, in_r)
+    np.testing.assert_array_equal(
+        np.asarray(t_o, np.float32), np.asarray(t_r, np.float32)
+    )
+    lu_o = from_block_cyclic(t_o, n, b)
+    rep = check_factorization(a.astype(np.float64), np.asarray(lu_o), ip_o,
+                              nbe_tol=1e-3)
+    assert rep.ok, str(rep)
+
+
+@pytest.mark.slow
+def test_dist_fused_owner_n1024(monkeypatch):
+    """Fused dist path at non-toy size (VERDICT r4 item 6): n=1024, b=128
+    on a (2, 2) CPU mesh, pivot-heavy uniform corpus — oracle clean and
+    pivot/perm parity with the single-chip fused driver."""
+    from jax.experimental.pallas import tpu as pltpu
+    import mpf_tpu.config as cfg
+    import mpf_tpu.models.mpf as M
+    from mpf_tpu.parallel.dist_lu import make_dist_lu, _dist_fused_ok
+
+    mesh = make_mesh((2, 2), devices=jax.devices()[:4])
+    n, b, r = 1024, 128, 32
+    a = matgen.random_dense(n, seed=4).astype(np.float32)
+    tiles = to_block_cyclic(jnp.asarray(a), 2, 2, b)
+    monkeypatch.setattr(M, "_PAD_QUANTUM", 256)
+    monkeypatch.setattr(M, "_FUSED_RB", 256)
+    monkeypatch.setattr(cfg, "_USE_PALLAS", "1")
+    assert _dist_fused_ok(n, b, r, MPF_BF16, True)
+    with pltpu.force_tpu_interpret_mode():
+        t_f, ipiv_f, info_f, perm_f = jax.tree.map(
+            np.asarray, make_dist_lu(n, b, mesh, MPF_BF16, r=r)(tiles)
+        )
+        res_s = jax.tree.map(
+            np.asarray,
+            M.mpf_factorize_traced(jnp.asarray(a), r=r, policy=MPF_BF16,
+                                   block=b, defer=False),
+        )
+    np.testing.assert_array_equal(ipiv_f, res_s.ipiv)
+    np.testing.assert_array_equal(perm_f, res_s.perm)
+    lu_f = from_block_cyclic(t_f, n, b)
+    rep = check_factorization(a.astype(np.float64), np.asarray(lu_f), ipiv_f,
+                              nbe_tol=1e-3)
+    assert rep.ok, str(rep)

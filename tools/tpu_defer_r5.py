@@ -22,13 +22,19 @@ import numpy as np
 
 
 def _factor_time(n, policy_name, block, defer, matrix, iters=3):
-    from mpf_tpu.models.mpf import make_mpf
+    from mpf_tpu.models.mpf import make_mpf, defer_extension
     from mpf_tpu.utils.timing import time_fn, tflops
     from mpf_tpu.utils import matgen
     from tools.tpu_lab import _policy
 
-    gen = (matgen.random_dense_device if matrix == "uniform"
-           else matgen.hpl_ai_matrix_device)
+    gen0 = (matgen.random_dense_device if matrix == "uniform"
+            else matgen.hpl_ai_matrix_device)
+    ov = defer_extension(n, r=128, policy=_policy(policy_name), block=block,
+                         defer=defer)
+
+    def gen(n, seed):
+        return gen0(n, seed=seed, ext_rows=ov)
+
     fac = make_mpf(n, r=128, policy=_policy(policy_name), block=block,
                    donate=True, defer=defer)
     secs, _ = time_fn(lambda s: fac(gen(n, seed=s)), 0, warmup=1, iters=iters)
@@ -93,6 +99,33 @@ def main():
         elif ph == "s":
             for sv in (4, 8, 16):
                 _factor_time(65536, "all_bf16", 1024, sv, "uniform")
+        elif ph == "u12":
+            # 32k MPF_BF16 outer-U12 precision A/B (round-5 cost model:
+            # ~65 ms of the 262 ms outer stage is the fp32-HIGHEST U12).
+            # Env is read at trace time -> fresh closures per leg.
+            import jax
+            from mpf_tpu.models.mpf import make_mpf
+            from mpf_tpu.utils.timing import time_fn, tflops
+            from mpf_tpu.utils import matgen
+            from tools.tpu_lab import _policy
+
+            n = 32768
+            for prec in ("highest", "high"):
+                os.environ["MPF_U12_PREC"] = prec
+                # bypass make_mpf's lru cache: a fresh closure per env leg
+                fac = make_mpf.__wrapped__(n, r=128,
+                                           policy=_policy("mpf_bf16"),
+                                           block=2048, donate=True)
+                for mat in ("hpl", "uniform"):
+                    gen = (matgen.random_dense_device if mat == "uniform"
+                           else matgen.hpl_ai_matrix_device)
+                    secs, _ = time_fn(lambda s: fac(gen(n, seed=s)), 0,
+                                      warmup=1, iters=3)
+                    gsecs, _ = time_fn(lambda s: gen(n, seed=s), 0,
+                                       warmup=1, iters=2)
+                    secs = max(secs - gsecs, 1e-9)
+                    print(f"u12={prec:7s} n={n} {mat:8s}: {secs*1e3:8.1f} ms "
+                          f"{tflops(n, secs):6.2f} TF/s", flush=True)
         else:
             print(f"unknown phase {ph}", flush=True)
 
