@@ -70,14 +70,23 @@ def u12_precision(default):
     ~60 ms fp32 A22 RMW + ~65 ms of THIS dot at fp32-HIGHEST (6-pass MXU
     emulation).  ``high`` (3-pass: drops the lo*lo cross term, relative
     error ~2^-18 per product vs fp32's 2^-24) halves the U12 flop tax; the
-    panel factors and trailing accumulation are untouched.  Read at TRACE
-    time — A/B harnesses must build fresh closures (make_mpf.__wrapped__),
-    never flip the env under the lru cache."""
+    panel factors and trailing accumulation are untouched.
+
+    DEFAULT (round 5): ``high`` wherever the caller would use HIGHEST —
+    chip A/B (tools/chip_logs_r5_u12.log): n=32768 MPF_BF16 hpl 433.4 vs
+    454.3 ms, uniform 506.7 vs 529.8 (-4.6%/-4.4%), oracle-NEUTRAL at
+    n=8192 on both corpora (uniform nbe 3.137e-05 vs 3.140e-05, hpl
+    3.011e-11 vs 2.977e-11 — the U12 2^-18 term is far below the bf16
+    panel's 2^-8 method error).  ``MPF_U12_PREC=highest`` restores the
+    6-pass dot.  Read at TRACE time — A/B harnesses must build fresh
+    closures (make_mpf.__wrapped__), never flip the env under the lru
+    cache."""
     import jax as _jax
 
     env = os.environ.get("MPF_U12_PREC", "")
     if not env:
-        return default
+        return (_jax.lax.Precision.HIGH
+                if default == _jax.lax.Precision.HIGHEST else default)
     return {
         "high": _jax.lax.Precision.HIGH,
         "highest": _jax.lax.Precision.HIGHEST,

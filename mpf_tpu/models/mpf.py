@@ -577,6 +577,79 @@ def _trailing_update(a, ks: int, kw: int, ce: int, policy, fprec, lu_diag, r,
     return a
 
 
+def _factorize_3d(a3, r, policy, fprec, block, ipiv, info, perm_total,
+                  interp: bool):
+    """Pair-layout (natively-3D) fused loop (round 5): the working matrix
+    is (n/2, 2, n), row i at ``a3[i // 2, i % 2]`` — the layout whose
+    2-row DMA granule cuts the physical exchange's window-granule waste 8x
+    on the pivot-heavy corpus (`ops/pair3d.py` module docstring; the 2D
+    bf16 layout's 16-row granule cost ~520 ms of the 64k-uniform north
+    star).  Same math, block structure, and LASWP semantics
+    (`MPF.cu:42-59`) as the classic fused loop; the per-block-column slab
+    is extracted 2D so the panel kernels (A1/A2/B) run UNCHANGED, and the
+    exchange/U12/trailing-GEMM kernels run pair-layout variants that are
+    bit-exact given identical inputs.
+
+    Caller guarantees (validated in `mpf_factorize_traced`): kernels on,
+    pivoting, every block column `_fused_ok`, n % block == 0, no
+    superblocking/lookahead/deferral."""
+    from mpf_tpu.ops.exchange import rows_exchange3
+    from mpf_tpu.ops.pair3d import (
+        band_write_rows,
+        slab_extract,
+        slab_writeback,
+        trailing_sub3,
+        u12_transform,
+    )
+
+    n = a3.shape[2]
+    q = _pad_quantum(n)
+    xoff = config.ablate("exchange")
+    for k in range(0, n, block):
+        bc = min(block, n - k)
+        if n - k <= 1:
+            break
+        # ---- panel stage (A1+A2+B) on the quantized-tail 2D slab ---------
+        m = min(n, -((k - n) // q) * q)
+        k0 = n - m
+        sub = slab_extract(a3, k0, k, m, bc, interpret=interp)
+        sub, pos_l, olog_l, piv_l, u_all, info_b = (
+            _factor_block_column_fused(sub, k - k0, r, policy)
+        )
+        if not config.ablate("slabio"):
+            a3 = slab_writeback(a3, sub, k0, k, interpret=interp)
+        ipiv = ipiv.at[k : k + bc].set(k0 + piv_l + 1)
+        info = jnp.where((info == 0) & (info_b > 0), info_b + k, info)
+        band_idx = (k - k0) + _iota(bc)
+        dests = k0 + jnp.take(pos_l, band_idx)
+        glist = k0 + olog_l
+        # ---- bounded physical exchange (2-row granule windows) -----------
+        if not xoff:
+            a3, piv3 = rows_exchange3(a3, k, glist, dests, interpret=interp)
+            a3 = band_write_rows(a3, piv3, k, interpret=interp)
+        # finished diagonal/U12 rowblock over the band's panel columns
+        # (small: the (bc, bc) -> (bc/2, 2, bc) relayout is ~2 MB)
+        u3 = u_all.reshape(bc // 2, 2, bc)
+        a3 = jax.lax.dynamic_update_slice(a3, u3, (k // 2, 0, k))
+        perm_total = _compose_perm(perm_total, k, bc,
+                                   (k0, band_idx, glist, dests))
+        # ---- trailing update: U12 in place, epilogue-fused GEMM ----------
+        e = k + bc
+        if e < n and not config.ablate("outer"):
+            linv = unit_lower_inv_blocked(u_all, base=min(r, 128))
+            w = n - e
+            a3 = u12_transform(a3, linv, k, e, w,
+                               config.u12_precision(fprec), interpret=interp)
+            l21_3 = jax.lax.dynamic_slice(
+                a3, (e // 2, 0, k), ((n - e) // 2, 2, bc)
+            ).astype(policy.gemm_in)
+            u12_3 = jax.lax.dynamic_slice(
+                a3, (k // 2, 0, e), (bc // 2, 2, w)
+            ).astype(policy.gemm_in)
+            a3 = trailing_sub3(a3, l21_3, u12_3, e, interpret=interp)
+    return MPFResult(lu=a3, ipiv=ipiv, info=info, perm=perm_total)
+
+
 def _lookahead_factorize(a, r, policy, fprec, block, ipiv, info, perm_total,
                          interp: bool):
     """One-deep pipelined fused loop (round 4, ``MPF_LOOKAHEAD``): the
@@ -887,6 +960,46 @@ def mpf_factorize_traced(
     default "auto": on for bf16 working at n >= 49152).  See
     `_deferred_factorize`.
     """
+    if a.ndim == 3:
+        # Pair-layout (natively-3D) input: (n/2, 2, n), row i at
+        # a[i // 2, i % 2] — explicit opt-in by shape, like the
+        # row-extended deferred entry below.  See `_factorize_3d`.
+        n = a.shape[2]
+        if a.shape[:2] != (n // 2, 2):
+            raise ValueError(f"expected (n/2, 2, n) pair layout, got {a.shape}")
+        a = a.astype(policy.working)
+        block = _auto_block(n, r, policy, block)
+        kon, interp = config.kernels_on()
+        ok = (
+            kon
+            and pivot
+            and panel_kernel is None
+            and _resolve_super(n, block, super_block) is None
+            and not (config.lookahead() if lookahead is None else lookahead)
+            and not _resolve_defer(n, block, r, policy, pivot, panel_kernel,
+                                   defer)
+            and config.combined_exchange()
+            and n % block == 0
+            and block % 2 == 0
+            and all(
+                _fused_ok(n, k, min(block, n - k), r, policy, pivot,
+                          panel_kernel)
+                for k in range(0, n, block)
+                if n - k > 1
+            )
+        )
+        if not ok:
+            raise ValueError(
+                "pair-layout (3D) input requires the fused kernel path: "
+                "kernels on, pivot=True, default panel kernel, combined "
+                "exchange, no superblock/lookahead/defer, n % block == 0 "
+                f"and every block column fused-eligible (n={n}, "
+                f"block={block}, kernels_on={kon})"
+            )
+        ipiv3 = _iota(n) + 1
+        return _factorize_3d(a, r, policy, _mm_precision(a), block, ipiv3,
+                             jnp.int32(0), _iota(n), interp)
+
     n = a.shape[1]
     ov_in = a.shape[0] - n  # rectangular (n + ov, n): pre-extended deferred
     if ov_in < 0:

@@ -90,7 +90,8 @@ def _rows_exchange_kernel(
     row2_ref, pay2_ref, t2_ref, nxw1_ref, nxw2_ref, nxw3_ref, kmeta_ref,
     a_in_ref, a_ref, piv_ref, stg_ref,
     btile, wbuf, vbuf, stile, pend, wps, sems,
-    *, nr: int, g: int, w: int, xsel: str = "masked",
+    *, nr: int, g: int, w: int, xsel: str = "masked", p3: bool = False,
+    btg: int = 0,
 ):
     """See module docstring.  Scalar-prefetch layout:
 
@@ -121,14 +122,25 @@ def _rows_exchange_kernel(
     ``wps`` SMEM (8, 2) = (pending?, window) per wbuf slot.  Sems: 0-3
     vbuf, 4-11 window reads, 12-19 window writes, 20-23 band tiles, 24-25
     staged batches.
+
+    ``p3`` (round 5, pair layout): ``a_ref`` is the natively-3D
+    (n/2, 2, w) bf16 working matrix — dynamic indices land on the untiled
+    leading (pair) dim, so the DMA granule is g=2 ROWS instead of the 2D
+    layout's 16 (`tools/tpu_granule_r5.py`: 2-row window RMW at 688 GB/s).
+    Windows are single pairs read as ``a_ref.at[gr]`` (2, w); band tiles
+    are ``btg``-row pair blocks collapsed to 2D in VMEM (value reshape —
+    `tools/tpu_3d_micro.py`).  All arithmetic, schedules, and staging are
+    IDENTICAL to the 2D kernel (g=2), so the two are bit-exact.
     """
     f32 = jnp.float32
+    btg = btg or g
     kb = kmeta_ref[0]
     n1 = kmeta_ref[1]
     n2 = kmeta_ref[2]
     nd = kmeta_ref[3]  # active (out-of-band) dest count = staged rows used
     ci = slice(None)
     grows = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+    growsb = jax.lax.broadcasted_iota(jnp.int32, (btg, 1), 0)
     srows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
 
     # ---- single-row write ring (shared by both phases) -------------------
@@ -183,6 +195,13 @@ def _rows_exchange_kernel(
 
     # ---- phase 1: band stream (4-slot tile ring, 2-deep read-ahead) ------
     def btile_read(t, slot):
+        if p3:
+            bp = btg // 2
+            return pltpu.make_async_copy(
+                a_ref.at[pl.ds(pl.multiple_of(kb // 2 + t * bp, bp), bp),
+                         ci, ci],
+                btile.at[slot], sems.at[20 + slot],
+            )
         return pltpu.make_async_copy(
             a_ref.at[pl.ds(pl.multiple_of(kb + t * g, g), g), ci],
             btile.at[slot], sems.at[20 + slot],
@@ -191,7 +210,7 @@ def _rows_exchange_kernel(
     def p1_body(e, carry):
         last_tile, tord, wcnt = carry
         rowp = r1_ref[e]
-        tile = rowp // g
+        tile = rowp // btg
         tswitch = tile != last_tile
         tord = tord + tswitch.astype(jnp.int32)
         ts = tord % 4
@@ -214,7 +233,8 @@ def _rows_exchange_kernel(
             def _():  # keep two tiles of read-ahead
                 btile_read(nt, (tord + 2) % 4).start()
 
-        val = _row_take(btile[ts], rowp % g, grows, xsel)
+        bt = btile[ts].reshape(btg, w) if p3 else btile[ts]
+        val = _row_take(bt, rowp % btg, growsb, xsel)
         wcnt = emit_row(wcnt, val, t1_ref[e], pay1_ref[e])
         return tile, tord, wcnt
 
@@ -226,16 +246,14 @@ def _rows_exchange_kernel(
     # ---- phase 2: out-of-band window sweep (8-slot ring, 3-deep
     # read-ahead + write-behind) -------------------------------------------
     def win_read(gr, slot):
-        return pltpu.make_async_copy(
-            a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), ci],
-            wbuf.at[slot], sems.at[4 + slot],
-        )
+        src = a_ref.at[gr] if p3 else a_ref.at[
+            pl.ds(pl.multiple_of(gr * g, g), g), ci]
+        return pltpu.make_async_copy(src, wbuf.at[slot], sems.at[4 + slot])
 
     def win_write(gr, slot):
-        return pltpu.make_async_copy(
-            wbuf.at[slot], a_ref.at[pl.ds(pl.multiple_of(gr * g, g), g), ci],
-            sems.at[12 + slot],
-        )
+        dst = a_ref.at[gr] if p3 else a_ref.at[
+            pl.ds(pl.multiple_of(gr * g, g), g), ci]
+        return pltpu.make_async_copy(wbuf.at[slot], dst, sems.at[12 + slot])
 
     def wps_wait(slot):
         """Await the pending window write recorded on ``slot`` (if any)."""
@@ -376,14 +394,19 @@ def _rows_exchange_kernel(
 @functools.lru_cache(maxsize=64)
 def _build_rows_exchange(n: int, wfull: int, nr: int,
                          dtype_name: str, interpret: bool = False,
-                         xsel: str = "masked", nrp: int | None = None):
+                         xsel: str = "masked", nrp: int | None = None,
+                         p3: bool = False):
     """``nrp``: row count of the pivrows output (defaults to ``nr``).  The
     flush of the deferred-exchange driver runs this kernel with NO source
     entries (`flush_overflow`), so its pivrows output is never written —
     ``nrp=8`` keeps the dead allocation off the HBM budget (an OV-row fp32
-    buffer would be ~2 GB at the 64k north star)."""
+    buffer would be ~2 GB at the 64k north star).
+
+    ``p3``: pair-layout (n/2, 2, wfull) working matrix — 2-row DMA granule
+    (see `_rows_exchange_kernel`)."""
     dt = jnp.dtype(dtype_name)
-    g = _granule(dt)
+    g = 2 if p3 else _granule(dt)
+    btg = 16 if p3 else g
     w = wfull
     nrp = nr if nrp is None else nrp
     nr8 = -(-nr // 8) * 8
@@ -397,21 +420,23 @@ def _build_rows_exchange(n: int, wfull: int, nr: int,
     # keep the slab dtype.
     sdt = jnp.dtype(jnp.float32)
     kernel = functools.partial(_rows_exchange_kernel, nr=nr, g=g, w=w,
-                               xsel=xsel)
+                               xsel=xsel, p3=p3, btg=btg)
+    ashape = (n // 2, 2, wfull) if p3 else (n, wfull)
+    btile_shape = (4, btg // 2, 2, w) if p3 else (4, g, w)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             # r1, pay1, t1, nxt1, nxt1b, row2, pay2, t2, nxw1..3, kmeta
             num_scalar_prefetch=12,
             grid=(),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],   # a (n, wfull)
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],   # a
             out_specs=(
                 pl.BlockSpec(memory_space=pl.ANY),          # a (aliased)
                 pl.BlockSpec(memory_space=pl.ANY),          # pivrows
                 pl.BlockSpec(memory_space=pl.ANY),          # staged
             ),
             scratch_shapes=[
-                pltpu.VMEM((4, g, w), dt),      # band tiles (4-slot ring)
+                pltpu.VMEM(btile_shape, dt),    # band tiles (4-slot ring)
                 pltpu.VMEM((8, g, w), dt),      # window ring
                 pltpu.VMEM((4, 1, w), sdt),     # outgoing row ring
                 pltpu.VMEM((2, 8, 1, w), sdt),  # staged batches (ping-pong)
@@ -421,14 +446,14 @@ def _build_rows_exchange(n: int, wfull: int, nr: int,
             ],
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n, wfull), dt),
+            jax.ShapeDtypeStruct(ashape, dt),
             jax.ShapeDtypeStruct((nrp, 1, w), sdt),
             jax.ShapeDtypeStruct((nr8, 1, w), sdt),
         ),
         input_output_aliases={12: 0},  # a, after the 12 scalar-prefetch args
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(min(
-                12 * g * w * dt.itemsize + 20 * w * sdt.itemsize
+                (8 * g + 4 * btg) * w * dt.itemsize + 20 * w * sdt.itemsize
                 + 8 * w * 4 + (24 << 20),
                 120 << 20,
             )),
@@ -455,7 +480,7 @@ def _next_chain(wid, depth: int):
 
 def build_exchange_schedules(n, k, glist, dests, g,
                              tile_depth: int = 1, win_depth: int = 1,
-                             sources: bool = True):
+                             sources: bool = True, btg: int | None = None):
     """Schedules for the combined one-sweep exchange (shared by
     :func:`rows_exchange` and the fused GEMM+exchange kernel in
     `ops/gemmx.py`, which asks for deeper tile/window read-ahead chains).
@@ -468,7 +493,12 @@ def build_exchange_schedules(n, k, glist, dests, g,
     ``sources=False`` (the deferred-exchange flush): the glist half is
     fully inactive — no pivot-source extraction in either phase; only the
     displaced-row staging + destination overlays run.  ``dests`` entries
-    >= ``n`` (the dead-slot sentinel) are dropped."""
+    >= ``n`` (the dead-slot sentinel) are dropped.
+
+    ``btg``: band-tile row count for the phase-1 tile prefetch chain
+    (defaults to ``g``; the pair-layout kernel streams 16-row band tiles
+    over its 2-row window granule)."""
+    btg = g if btg is None else btg
     nr = int(glist.shape[0])
     k = jnp.asarray(k, jnp.int32)
     glist = glist.astype(jnp.int32)
@@ -517,7 +547,7 @@ def build_exchange_schedules(n, k, glist, dests, g,
     n1 = (src1.sum() + act_d.sum()).astype(jnp.int32)
 
     # read-prefetch chains: the next 1..depth distinct tiles/windows
-    tile1 = jnp.where(e2 < n1, r1s // g, jnp.int32(-2))
+    tile1 = jnp.where(e2 < n1, r1s // btg, jnp.int32(-2))
     tile_chain = _next_chain(tile1, tile_depth)
     wid2 = jnp.where(e2 < n2, row2 // g, jnp.int32(-2))
     win_chain = _next_chain(wid2, win_depth)
@@ -559,6 +589,31 @@ def rows_exchange(a, k, glist, dests, interpret=False):
     )(r1s, pay1, t1, nxt1, nxt1b, row2, pay2, t2, *nxw123, kmeta, a)
     # pivrows staging is fp32 (see _build_rows_exchange); exact for bf16
     return a2, piv3.reshape(nr, w).astype(a.dtype)
+
+
+def rows_exchange3(a3, k, glist, dests, interpret=False):
+    """Pair-layout variant of :func:`rows_exchange` (round 5): ``a3`` is the
+    natively-3D (n/2, 2, n) bf16 working matrix, row i living at
+    ``a3[i // 2, i % 2]``.  The DMA window granule drops 16 -> 2 rows — the
+    measured bound of the pivot-heavy 64k exchange was granule-window
+    traffic (16 rows streamed r+w per 1-2 moved rows; STATUS round-4), an
+    8x cut.  Schedules, staging, and arithmetic are identical to the 2D
+    kernel, so the exchanged values are bit-exact.  Returns
+    ``(a3', piv3)`` with ``piv3`` the RAW (nr, 1, w) fp32 pivot-row staging
+    buffer — the pair-layout band write (`ops/pair3d.band_write_rows`)
+    consumes it directly, avoiding an XLA (nr, w) relayout."""
+    np_, two, wfull = a3.shape
+    assert two == 2, a3.shape
+    n = 2 * np_
+    nr = int(glist.shape[0])
+    kmeta, r1s, pay1, t1, (nxt1, nxt1b), row2, pay2, t2, nxw123 = (
+        build_exchange_schedules(n, k, glist, dests, 2,
+                                 tile_depth=2, win_depth=3, btg=16)
+    )
+    a2, piv3, _ = _build_rows_exchange(
+        n, wfull, nr, a3.dtype.name, interpret, xsel_mode(), p3=True
+    )(r1s, pay1, t1, nxt1, nxt1b, row2, pay2, t2, *nxw123, kmeta, a3)
+    return a2, piv3
 
 
 def flush_overflow(a, novstart: int, dests, interpret=False):

@@ -95,7 +95,8 @@ def hpl_ai_matrix(n: int, seed: int = 0, dtype=np.float32) -> np.ndarray:
     return a
 
 
-def hpl_ai_matrix_device(n: int, seed: int = 0, ext_rows: int = 0):
+def hpl_ai_matrix_device(n: int, seed: int = 0, ext_rows: int = 0,
+                         pairs: bool = False):
     """Device-side HPL-AI-style matrix (same class as :func:`hpl_ai_matrix`
     but generated with the JAX PRNG directly on the accelerator — host->device
     transfer of an n^2 matrix runs at ~10 MB/s through this session's TPU
@@ -104,33 +105,53 @@ def hpl_ai_matrix_device(n: int, seed: int = 0, ext_rows: int = 0):
     ``ext_rows``: extra don't-care rows appended below (the deferred-
     exchange driver's pre-allocated overflow region, `models/mpf.py:
     defer_extension` — generating the (n + ov, n) buffer directly avoids
-    materializing matrix AND extension side by side at the HBM edge)."""
+    materializing matrix AND extension side by side at the HBM edge).
+
+    ``pairs=True``: emit the natively-3D (n/2, 2, n) pair layout consumed
+    by the round-5 pair-layout driver (`models/mpf._factorize_3d`) —
+    ELEMENTWISE IDENTICAL values (the JAX PRNG fills shapes of equal count
+    in row-major order), generated directly in the 3D layout because an
+    XLA 2D->3D reshape materializes a relayout copy."""
     import jax
     import jax.numpy as jnp
 
+    assert not (pairs and ext_rows), "pair layout excludes deferred overflow"
+
     @jax.jit
     def gen(key):
-        a = jax.random.uniform(key, (n + ext_rows, n), jnp.float32) - 0.5
-        rows = jax.lax.broadcasted_iota(jnp.int32, (n + ext_rows, 1), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        shape = ((n + ext_rows) // 2, 2, n) if pairs else (n + ext_rows, n)
+        a = jax.random.uniform(key, shape, jnp.float32) - 0.5
+        if pairs:
+            rows = (
+                2 * jax.lax.broadcasted_iota(jnp.int32, (n // 2, 2, 1), 0)
+                + jax.lax.broadcasted_iota(jnp.int32, (n // 2, 2, 1), 1)
+            )
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+        else:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (n + ext_rows, 1), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
         return jnp.where(rows == cols, a + n / 4.0, a)
 
     return gen(jax.random.PRNGKey(seed))
 
 
-def random_dense_device(n: int, seed: int = 0, ext_rows: int = 0):
+def random_dense_device(n: int, seed: int = 0, ext_rows: int = 0,
+                        pairs: bool = False):
     """Device-side uniform [0, 9.9] matrix — the reference corpus's value
     distribution (`matrix_generator.cpp:66`) at benchmark sizes.  Unlike the
     diagonally-dominant HPL-AI class, pivots move on essentially EVERY
     column here, so this is the honest worst case for the physical row
-    exchange (VERDICT r2 weak #3).  ``ext_rows``: see
+    exchange (VERDICT r2 weak #3).  ``ext_rows``/``pairs``: see
     :func:`hpl_ai_matrix_device`."""
     import jax
     import jax.numpy as jnp
 
+    assert not (pairs and ext_rows), "pair layout excludes deferred overflow"
+
     @jax.jit
     def gen(key):
-        return jax.random.uniform(key, (n + ext_rows, n), jnp.float32) * 9.9
+        shape = ((n + ext_rows) // 2, 2, n) if pairs else (n + ext_rows, n)
+        return jax.random.uniform(key, shape, jnp.float32) * 9.9
 
     return gen(jax.random.PRNGKey(seed))
 
