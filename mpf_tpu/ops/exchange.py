@@ -86,13 +86,15 @@ def _row_take(block, rmod, grows, xsel: str):
 
 
 def _rows_exchange_kernel(
-    r1_ref, pay1_ref, t1_ref, nxt1_ref, nxt1b_ref,
-    row2_ref, pay2_ref, t2_ref, nxw1_ref, nxw2_ref, nxw3_ref, kmeta_ref,
-    a_in_ref, a_ref, piv_ref, stg_ref,
-    btile, wbuf, vbuf, stile, pend, wps, sems,
-    *, nr: int, g: int, w: int, xsel: str = "masked", p3: bool = False,
-    btg: int = 0,
+    *refs,
+    nr: int, g: int, w: int, xsel: str = "masked", p3: bool = False,
+    btg: int = 0, rings: int = 8, ahead: int = 3,
 ):
+    (r1_ref, pay1_ref, t1_ref, nxt1_ref, nxt1b_ref,
+     row2_ref, pay2_ref, t2_ref) = refs[:8]
+    nxw_refs = refs[8 : 8 + ahead]
+    (kmeta_ref, a_in_ref, a_ref, piv_ref, stg_ref,
+     btile, wbuf, vbuf, stile, pend, wps, sems) = refs[8 + ahead :]
     """See module docstring.  Scalar-prefetch layout:
 
     phase 1 (``n1 = kmeta[1]`` active entries, sorted by band row):
@@ -106,14 +108,16 @@ def _rows_exchange_kernel(
       pay2[e]   pivrows row for sources (unused for dests);
       nxw1..3   the next 1..3 distinct windows after e's (or -1)
 
-    Round 5: the window ring is 8 slots with a 3-deep read-ahead chain and
-    the band tiles 4 slots with a 2-deep chain (ported from the
-    chip-validated `ops/gemmx.py` sweep; the slot of window ordinal W is
-    always W%8 so chain reads and reuse waits agree).  The round-3 form
-    (4-slot ring, read-ahead 1) left the pivot-heavy sweep round-trip
-    bound: the measured 64k uniform exchange moved its granule windows at
-    ~380 GB/s effective vs ~700 sustainable — each 2-4 MB window read's
-    issue latency was only one select-phase deep.
+    Round 5: the window ring is ``rings`` slots with an ``ahead``-deep
+    read-ahead chain (default 8/3, ported from the chip-validated
+    `ops/gemmx.py` sweep; the slot of window ordinal W is always W%rings
+    so chain reads and reuse waits agree).  The round-3 form (4-slot ring,
+    read-ahead 1) left the pivot-heavy sweep round-trip bound: the
+    measured 64k uniform exchange moved its granule windows at ~380 GB/s
+    effective vs ~700 sustainable — each 2-4 MB window read's issue
+    latency was only one select-phase deep.  The pair layout (``p3``)
+    shrinks windows 8x (256 KB at the 64k width), so its sweep is
+    latency-bound and builds with a 16/6 ring.
 
     Scratch: ``btile`` (4, g, w) band tiles; ``wbuf`` (8, g, w) window
     ring (read-ahead + write-behind); ``vbuf`` (4, 1, w) outgoing
@@ -200,11 +204,11 @@ def _rows_exchange_kernel(
             return pltpu.make_async_copy(
                 a_ref.at[pl.ds(pl.multiple_of(kb // 2 + t * bp, bp), bp),
                          ci, ci],
-                btile.at[slot], sems.at[20 + slot],
+                btile.at[slot], sems.at[10 + 2 * rings + slot],
             )
         return pltpu.make_async_copy(
             a_ref.at[pl.ds(pl.multiple_of(kb + t * g, g), g), ci],
-            btile.at[slot], sems.at[20 + slot],
+            btile.at[slot], sems.at[10 + 2 * rings + slot],
         )
 
     def p1_body(e, carry):
@@ -243,7 +247,7 @@ def _rows_exchange_kernel(
     )
     drain_ring(wcnt)  # phase 2 streams ``staged`` — all writes must land
 
-    # ---- phase 2: out-of-band window sweep (8-slot ring, 3-deep
+    # ---- phase 2: out-of-band window sweep (rings-slot ring, ahead-deep
     # read-ahead + write-behind) -------------------------------------------
     def win_read(gr, slot):
         src = a_ref.at[gr] if p3 else a_ref.at[
@@ -253,7 +257,8 @@ def _rows_exchange_kernel(
     def win_write(gr, slot):
         dst = a_ref.at[gr] if p3 else a_ref.at[
             pl.ds(pl.multiple_of(gr * g, g), g), ci]
-        return pltpu.make_async_copy(wbuf.at[slot], dst, sems.at[12 + slot])
+        return pltpu.make_async_copy(wbuf.at[slot], dst,
+                                     sems.at[4 + rings + slot])
 
     def wps_wait(slot):
         """Await the pending window write recorded on ``slot`` (if any)."""
@@ -265,10 +270,10 @@ def _rows_exchange_kernel(
     def stile_read(t, slot):
         return pltpu.make_async_copy(
             stg_ref.at[pl.ds(pl.multiple_of(t * 8, 8), 8)], stile.at[slot],
-            sems.at[24 + slot],
+            sems.at[8 + 2 * rings + slot],
         )
 
-    for s in range(8):
+    for s in range(rings):
         wps[s, 0] = 0
 
     def p2_body(e, carry):
@@ -277,41 +282,41 @@ def _rows_exchange_kernel(
         typ = t2_ref[e]
         gr = grow // g
         switch = (gr != last_gr) | (word < 0)
-        word = word + switch.astype(jnp.int32)  # window ordinal; slot word%8
-        cur = word % 8
+        word = word + switch.astype(jnp.int32)  # ordinal; slot word%rings
+        cur = word % rings
 
         @pl.when(switch)
         def _():
-            wps_wait(cur)  # slot reuse: ordinal word-8's write must land
+            wps_wait(cur)  # slot reuse: ordinal word-rings' write must land
 
             @pl.when(word == 0)
-            def _():  # prime the read-ahead chain (this window + 2 ahead)
+            def _():  # prime the read-ahead chain (this + ahead-1 windows)
                 win_read(gr, cur).start()
-                for d, nxd in ((1, nxw1_ref), (2, nxw2_ref)):
-                    nw0 = nxd[e]
+                for d in range(1, ahead):
+                    nw0 = nxw_refs[d - 1][e]
 
                     @pl.when(nw0 >= 0)
                     def _():
-                        sl = (word + d) % 8
+                        sl = (word + d) % rings
                         wps_wait(sl)
                         win_read(nw0, sl).start()
 
-            win_read(gr, cur).wait()  # prefetched 3 switches ago
+            win_read(gr, cur).wait()  # prefetched ``ahead`` switches ago
 
-            prev = (word + 7) % 8
+            prev = (word + rings - 1) % rings
 
             @pl.when((word > 0) & (dirty == 1))
             def _():  # close the previous window (write-behind)
-                wps_wait(prev)  # its slot's OLDER write (ordinal word-9)
+                wps_wait(prev)  # its slot's OLDER write
                 win_write(last_gr, prev).start()
                 wps[prev, 0] = 1
                 wps[prev, 1] = last_gr
 
-            nw = nxw3_ref[e]
+            nw = nxw_refs[ahead - 1][e]
 
             @pl.when(nw >= 0)
-            def _():  # extend the read-ahead chain to depth 3
-                nslot = (word + 3) % 8
+            def _():  # extend the read-ahead chain to depth ``ahead``
+                nslot = (word + ahead) % rings
                 wps_wait(nslot)  # that slot's write must land first
                 win_read(nw, nslot).start()
 
@@ -380,13 +385,13 @@ def _rows_exchange_kernel(
 
     @pl.when((word >= 0) & (dirty == 1))
     def _():  # close the final window
-        cur = word % 8
+        cur = word % rings
         wps_wait(cur)
         win_write(last_gr, cur).start()
         wps[cur, 0] = 1
         wps[cur, 1] = last_gr
 
-    for s in range(8):
+    for s in range(rings):
         wps_wait(s)
     drain_ring(wcnt2)
 
@@ -395,7 +400,7 @@ def _rows_exchange_kernel(
 def _build_rows_exchange(n: int, wfull: int, nr: int,
                          dtype_name: str, interpret: bool = False,
                          xsel: str = "masked", nrp: int | None = None,
-                         p3: bool = False):
+                         p3: bool = False, rings: int = 8, ahead: int = 3):
     """``nrp``: row count of the pivrows output (defaults to ``nr``).  The
     flush of the deferred-exchange driver runs this kernel with NO source
     entries (`flush_overflow`), so its pivrows output is never written —
@@ -420,14 +425,15 @@ def _build_rows_exchange(n: int, wfull: int, nr: int,
     # keep the slab dtype.
     sdt = jnp.dtype(jnp.float32)
     kernel = functools.partial(_rows_exchange_kernel, nr=nr, g=g, w=w,
-                               xsel=xsel, p3=p3, btg=btg)
+                               xsel=xsel, p3=p3, btg=btg, rings=rings,
+                               ahead=ahead)
     ashape = (n // 2, 2, wfull) if p3 else (n, wfull)
     btile_shape = (4, btg // 2, 2, w) if p3 else (4, g, w)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            # r1, pay1, t1, nxt1, nxt1b, row2, pay2, t2, nxw1..3, kmeta
-            num_scalar_prefetch=12,
+            # r1, pay1, t1, nxt1, nxt1b, row2, pay2, t2, nxw1..ahead, kmeta
+            num_scalar_prefetch=9 + ahead,
             grid=(),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],   # a
             out_specs=(
@@ -437,12 +443,12 @@ def _build_rows_exchange(n: int, wfull: int, nr: int,
             ),
             scratch_shapes=[
                 pltpu.VMEM(btile_shape, dt),    # band tiles (4-slot ring)
-                pltpu.VMEM((8, g, w), dt),      # window ring
+                pltpu.VMEM((rings, g, w), dt),  # window ring
                 pltpu.VMEM((4, 1, w), sdt),     # outgoing row ring
                 pltpu.VMEM((2, 8, 1, w), sdt),  # staged batches (ping-pong)
                 pltpu.SMEM((4, 2), jnp.int32),  # pending (kind, pos)/vbuf slot
-                pltpu.SMEM((8, 2), jnp.int32),  # pending (flag, win)/wbuf slot
-                pltpu.SemaphoreType.DMA((26,)),
+                pltpu.SMEM((rings, 2), jnp.int32),  # (flag, win)/wbuf slot
+                pltpu.SemaphoreType.DMA((14 + 2 * rings,)),
             ],
         ),
         out_shape=(
@@ -450,11 +456,11 @@ def _build_rows_exchange(n: int, wfull: int, nr: int,
             jax.ShapeDtypeStruct((nrp, 1, w), sdt),
             jax.ShapeDtypeStruct((nr8, 1, w), sdt),
         ),
-        input_output_aliases={12: 0},  # a, after the 12 scalar-prefetch args
+        input_output_aliases={9 + ahead: 0},  # a, after the scalar prefetch
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(min(
-                (8 * g + 4 * btg) * w * dt.itemsize + 20 * w * sdt.itemsize
-                + 8 * w * 4 + (24 << 20),
+                (rings * g + 4 * btg) * w * dt.itemsize
+                + 20 * w * sdt.itemsize + 8 * w * 4 + (24 << 20),
                 120 << 20,
             )),
             has_side_effects=True,
@@ -606,13 +612,16 @@ def rows_exchange3(a3, k, glist, dests, interpret=False):
     assert two == 2, a3.shape
     n = 2 * np_
     nr = int(glist.shape[0])
-    kmeta, r1s, pay1, t1, (nxt1, nxt1b), row2, pay2, t2, nxw123 = (
+    # 16-slot / 6-deep window ring: pair windows are 8x smaller than the 2D
+    # kernel's, so the sweep is issue-latency bound, not bytes bound
+    kmeta, r1s, pay1, t1, (nxt1, nxt1b), row2, pay2, t2, nxw = (
         build_exchange_schedules(n, k, glist, dests, 2,
-                                 tile_depth=2, win_depth=3, btg=16)
+                                 tile_depth=2, win_depth=6, btg=16)
     )
     a2, piv3, _ = _build_rows_exchange(
-        n, wfull, nr, a3.dtype.name, interpret, xsel_mode(), p3=True
-    )(r1s, pay1, t1, nxt1, nxt1b, row2, pay2, t2, *nxw123, kmeta, a3)
+        n, wfull, nr, a3.dtype.name, interpret, xsel_mode(), p3=True,
+        rings=16, ahead=6,
+    )(r1s, pay1, t1, nxt1, nxt1b, row2, pay2, t2, *nxw, kmeta, a3)
     return a2, piv3
 
 
