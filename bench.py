@@ -47,10 +47,13 @@ def _short_err(e, limit=160):
     return s[:limit] + ("..." if len(s) > limit else "")
 
 
-def _measure_factor(n, r, block, policy, super_block="auto", gen=None):
+def _measure_factor(n, r, block, policy, super_block="auto", gen=None,
+                    pairs=False):
     """Seconds per factorization at size n, net of device-side generation.
     ``gen``: device-side matrix generator (default HPL-AI; pass
-    ``matgen.random_dense_device`` for the pivot-heavy uniform corpus)."""
+    ``matgen.random_dense_device`` for the pivot-heavy uniform corpus).
+    ``pairs``: generate + factor in the natively-3D pair layout (round 5,
+    `models/mpf._factorize_3d` — 2-row exchange DMA granule)."""
     gen = gen or matgen.hpl_ai_matrix_device
     fac = mpf_tpu.make_mpf(n, r=r, policy=policy, block=block, donate=True,
                            super_block=super_block)
@@ -58,10 +61,14 @@ def _measure_factor(n, r, block, policy, super_block="auto", gen=None):
     # rectangular entry; 0 when deferral is off for this config)
     from mpf_tpu.models.mpf import defer_extension
 
-    ov = defer_extension(n, r=r, policy=policy, block=block)
+    ov = 0 if pairs else defer_extension(n, r=r, policy=policy, block=block)
+
+    def make(seed):
+        return (gen(n, seed=seed, pairs=True) if pairs
+                else gen(n, seed=seed, ext_rows=ov))
 
     def run(_):
-        return fac(gen(n, seed=0, ext_rows=ov))
+        return fac(make(0))
 
     try:
         secs, _ = time_fn(run, 0, warmup=1, iters=3)
@@ -72,9 +79,9 @@ def _measure_factor(n, r, block, policy, super_block="auto", gen=None):
         # the chip-proven two-level driver before degrading in SIZE
         print(f"WARNING: n={n} super_block=auto failed ({_short_err(e)}); "
               "retrying two-level", file=sys.stderr)
-        return _measure_factor(n, r, block, policy, super_block=None, gen=gen)
-    gsecs, _ = time_fn(lambda _: gen(n, seed=0, ext_rows=ov), 0,
-                       warmup=1, iters=2)
+        return _measure_factor(n, r, block, policy, super_block=None,
+                               gen=gen, pairs=pairs)
+    gsecs, _ = time_fn(lambda _: make(0), 0, warmup=1, iters=2)
     return max(secs - gsecs, 1e-9)
 
 
@@ -189,21 +196,34 @@ def main():
     # n=65536 with the ALL_BF16 policy.  Machine-readable every round.
     northstar_tflops = northstar_err = None
     ns_n = int(os.environ.get("BENCH_NORTHSTAR_N", "65536"))
+    # pair layout (round 5): 2-row exchange DMA granule — the chip-measured
+    # default for the bf16-working north star; BENCH_PAIRS=0 restores 2D,
+    # and any pair-leg failure falls back to the chip-proven 2D layout
+    ns_pairs = os.environ.get("BENCH_PAIRS", "1") == "1"
     if ns_n:
         # always its own measurement: the north-star gate is ALL_BF16 at
         # ns_n, never the MPF_BF16 headline number (different policy)
-        try:
-            # north-star block pinned to its own measured winner (64k
-            # ALL_BF16 ran at block=1024 for the 1522 ms / 63.5% result;
-            # do NOT inherit the 32k headline block)
-            ns_secs = _measure_factor(
-                ns_n, r, int(os.environ.get("BENCH_NORTHSTAR_BLOCK", "1024")),
-                ALL_BF16)
-            northstar_tflops = tflops(ns_n, ns_secs)
-        except Exception as e:  # noqa: BLE001
-            northstar_err = _short_err(e)
-            print(f"WARNING: north-star n={ns_n} run failed: {northstar_err}",
-                  file=sys.stderr)
+        nsb = int(os.environ.get("BENCH_NORTHSTAR_BLOCK", "1024"))
+        if ns_pairs:
+            try:
+                ns_secs = _measure_factor(ns_n, r, nsb, ALL_BF16, pairs=True)
+                northstar_tflops = tflops(ns_n, ns_secs)
+            except Exception as e:  # noqa: BLE001
+                ns_pairs = False
+                print(f"WARNING: pair-layout north star failed "
+                      f"({_short_err(e)}); falling back to 2D",
+                      file=sys.stderr)
+        if northstar_tflops is None:
+            try:
+                # north-star block pinned to its own measured winner (64k
+                # ALL_BF16 ran at block=1024 for the 1522 ms / 63.5%
+                # result; do NOT inherit the 32k headline block)
+                ns_secs = _measure_factor(ns_n, r, nsb, ALL_BF16)
+                northstar_tflops = tflops(ns_n, ns_secs)
+            except Exception as e:  # noqa: BLE001
+                northstar_err = _short_err(e)
+                print(f"WARNING: north-star n={ns_n} run failed: "
+                      f"{northstar_err}", file=sys.stderr)
 
     # uniform-corpus north star (VERDICT r3 item 1): the pivot-heavy corpus
     # (`matrix_generator.cpp:66` uniform values — pivots move on ~every
@@ -213,9 +233,11 @@ def main():
     ns_uni_tflops = ns_uni_err = None
     if ns_n and northstar_tflops is not None:
         try:
+            # same layout decision as the hpl leg (reuses its compiled
+            # factorizer through the lru-cached make_mpf)
             u_secs = _measure_factor(
                 ns_n, r, int(os.environ.get("BENCH_NORTHSTAR_BLOCK", "1024")),
-                ALL_BF16, gen=matgen.random_dense_device)
+                ALL_BF16, gen=matgen.random_dense_device, pairs=ns_pairs)
             ns_uni_tflops = tflops(ns_n, u_secs)
         except Exception as e:  # noqa: BLE001
             ns_uni_err = _short_err(e)
@@ -274,10 +296,15 @@ def main():
     except Exception:
         pass
 
-    # sustained bf16 MXU rate measured on this chip (tools/tpu_micro.py):
-    # ~194 TF/s including reduce overhead; the north-star gate is >= 60% of
-    # peak (BASELINE.md), so report the fraction in every run.
-    sustained_mxu_tflops = 194.0
+    # sustained bf16 MXU rate measured IN-RUN on this chip (VERDICT r4
+    # weak #6); every gate percentage derives from it.  Falls back to the
+    # rounds-2-4 chip constant 194.0 on a failed or implausible reading.
+    try:
+        sustained_mxu_tflops = _measure_sustained_mxu()
+    except Exception as e:  # noqa: BLE001
+        print(f"WARNING: sustained-MXU measure failed: {_short_err(e)}",
+              file=sys.stderr)
+        sustained_mxu_tflops = 194.0
 
     out = {
         "metric": f"LU TFLOP/s/chip (2n^3/3), n={n}, r={r}, policy={policy.name}",
@@ -292,7 +319,9 @@ def main():
             else "jax.scipy.linalg.lu_factor: all sizes failed"
         ),
         "seconds": round(secs, 4),
+        "sustained_mxu_tflops": round(sustained_mxu_tflops, 1),
         "northstar_n": ns_n or None,
+        "northstar_layout": ("pair3d" if ns_pairs else "2d") if ns_n else None,
         "northstar_tflops": round(northstar_tflops, 3) if northstar_tflops else None,
         "northstar_pct_of_peak": (
             round(100.0 * northstar_tflops / sustained_mxu_tflops, 1)

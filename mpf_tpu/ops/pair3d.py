@@ -266,8 +266,13 @@ def _build_u12(npair: int, ncols: int, ks: int, kw: int, e: int, w: int,
     t = next(c for c in (1024, 512, 256, 128, 64, 32, 16, 8)
              if w % c == 0 and e % c == 0)
     assert ks % kw == 0 and e % t == 0 and w % t == 0, (ks, kw, e, w, t)
+    # Mosaic's dot lowering supports DEFAULT/HIGHEST only (no 3-pass HIGH
+    # primitive — "Unsupported dot precision: HIGH"); fp32-working callers
+    # that resolved HIGH (the round-5 `config.u12_precision` default) get
+    # the 6-pass dot here.  Chip parity A/Bs vs the 2D path must pin
+    # MPF_U12_PREC=highest so both sides run the same dot.
     prec = {"highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH,
+            "high": jax.lax.Precision.HIGHEST,
             "default": jax.lax.Precision.DEFAULT,
             "none": None}[prec_name]
     i0 = ks // kw

@@ -48,6 +48,10 @@ def _run(a, policy, pairs):
 @pytest.mark.parametrize("corpus", ["uniform", "hpl"])
 def test_pair3d_bitexact_vs_2d(monkeypatch, policy, corpus):
     _patch(monkeypatch)
+    if policy is MPF_BF16:
+        # fp32 working: the pair-layout U12 kernel has no Mosaic 3-pass
+        # (HIGH) dot — parity holds with both paths pinned to HIGHEST
+        monkeypatch.setenv("MPF_U12_PREC", "highest")
     if corpus == "uniform":
         a = matgen.random_dense(N, seed=5).astype(np.float32)
     else:
