@@ -578,7 +578,7 @@ def _trailing_update(a, ks: int, kw: int, ce: int, policy, fprec, lu_diag, r,
 
 
 def _factorize_3d(a3, r, policy, fprec, block, ipiv, info, perm_total,
-                  interp: bool):
+                  interp: bool, k_lo: int = 0, k_hi: int | None = None):
     """Pair-layout (natively-3D) fused loop (round 5): the working matrix
     is (n/2, 2, n), row i at ``a3[i // 2, i % 2]`` — the layout whose
     2-row DMA granule cuts the physical exchange's window-granule waste 8x
@@ -592,7 +592,16 @@ def _factorize_3d(a3, r, policy, fprec, block, ipiv, info, perm_total,
 
     Caller guarantees (validated in `mpf_factorize_traced`): kernels on,
     pivoting, every block column `_fused_ok`, n % block == 0, no
-    superblocking/lookahead/deferral."""
+    superblocking/lookahead/deferral.
+
+    ``k_lo``/``k_hi``: block-column range [k_lo, k_hi) — the multi-part
+    driver (round 5) splits large n across SEQUENTIAL jitted executables
+    because the tunnel's compile helper is OOM-killed on ~2.5+ MB Mosaic
+    modules (the 64k pair driver ships 2.75 MB single-shot; each kernel
+    call SITE embeds its serialized payload, and the per-block-column
+    Python loop inlines ~45 sites/column).  State (a3, ipiv, info, perm)
+    passes between parts on-device; one extra dispatch (~30 us) per split
+    against a ~1.5 s factorization."""
     from mpf_tpu.ops.exchange import rows_exchange3
     from mpf_tpu.ops.pair3d import (
         band_write_rows,
@@ -605,7 +614,7 @@ def _factorize_3d(a3, r, policy, fprec, block, ipiv, info, perm_total,
     n = a3.shape[2]
     q = _pad_quantum(n)
     xoff = config.ablate("exchange")
-    for k in range(0, n, block):
+    for k in range(k_lo, n if k_hi is None else k_hi, block):
         bc = min(block, n - k)
         if n - k <= 1:
             break
@@ -947,9 +956,16 @@ def mpf_factorize_traced(
     super_block="auto",
     lookahead: bool | None = None,
     defer=None,
+    _k3d: tuple[int, int] | None = None,
+    _st3d=None,
 ) -> MPFResult:
     """Trace-time body: two-level blocked LU.  Call through
     :func:`mpf_factorize` / :func:`make_mpf` for the jitted entry points.
+
+    ``_k3d``/``_st3d`` (private, pair-layout multi-part driver): restrict
+    the 3D fused loop to block columns [k_lo, k_hi) and optionally resume
+    from carried (ipiv, info, perm) state — see `make_mpf`'s split wrapper
+    and `_factorize_3d`'s module-size rationale.
 
     ``panel_kernel(panel_lowprec, row_offset) -> (piv, perm)`` overrides the
     pre-pivoting panel implementation (default: the jnp reference kernel;
@@ -996,9 +1012,13 @@ def mpf_factorize_traced(
                 f"and every block column fused-eligible (n={n}, "
                 f"block={block}, kernels_on={kon})"
             )
-        ipiv3 = _iota(n) + 1
+        if _st3d is not None:
+            ipiv3, info3, perm3 = _st3d
+        else:
+            ipiv3, info3, perm3 = _iota(n) + 1, jnp.int32(0), _iota(n)
+        k_lo, k_hi = _k3d if _k3d is not None else (0, None)
         return _factorize_3d(a, r, policy, _mm_precision(a), block, ipiv3,
-                             jnp.int32(0), _iota(n), interp)
+                             info3, perm3, interp, k_lo, k_hi)
 
     n = a.shape[1]
     ov_in = a.shape[0] - n  # rectangular (n + ov, n): pre-extended deferred
@@ -1236,6 +1256,27 @@ def mpf_factorize(
     )
 
 
+_PAIR3D_SPLIT_COLS = 32
+
+
+def _pair3d_parts(n: int, r: int, policy, block: int | None):
+    """Block-column ranges for the pair-layout multi-part driver: at most
+    ``_PAIR3D_SPLIT_COLS`` block columns per jitted executable.  The
+    per-column Python loop inlines ~45 Pallas call sites, each embedding
+    its serialized Mosaic payload; 64 columns (n=65536, block=1024) ships
+    2.75 MB and OOM-kills the tunnel's compile helper, 32 columns measures
+    ~half that (tools/tpu_modsize_r5.py).  One range = the classic
+    single-executable driver (no wrapper)."""
+    block = _auto_block(n, r, policy, block)
+    ncols = max(1, -(-n // block))
+    nparts = -(-ncols // _PAIR3D_SPLIT_COLS)
+    if nparts <= 1:
+        return [(0, None)]
+    per = -(-ncols // nparts)
+    bounds = [min(i * per * block, n) for i in range(nparts)] + [None]
+    return list(zip(bounds[:-1], bounds[1:]))
+
+
 @functools.lru_cache(maxsize=32)
 def make_mpf(
     n: int,
@@ -1266,4 +1307,41 @@ def make_mpf(
             lookahead=lookahead, defer=defer,
         )
 
-    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+    jfn = jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+    # Pair-layout multi-part driver (round 5): at n=65536 the single-shot
+    # 3D module ships 2.75 MB of MLIR and the tunnel's compile helper is
+    # OOM-killed (SIGKILL; the 2D driver's ~same-size module sits just
+    # under the wall — tools/tpu_modsize_r5.py: 55.7 vs 53.7 MB lowered
+    # text).  Split the block-column loop across sequential jitted
+    # executables, carrying (a3, ipiv, info, perm) on-device: one extra
+    # dispatch (~30 us) per split vs a ~1.5 s factorization, and each
+    # part's module lands at ~half the wall.  2D inputs are unaffected
+    # (the wrapper dispatches on ndim at call time).
+    parts = _pair3d_parts(n, r, policy, block)
+    if len(parts) <= 1:
+        return jfn
+
+    def _part_fn(k_lo, k_hi, first):
+        def pf(a, ipiv=None, info=None, perm=None):
+            return mpf_factorize_traced(
+                a, r=r, policy=policy, pivot=pivot, block=block,
+                panel_kernel=panel_kernel, super_block=super_block,
+                lookahead=lookahead, defer=defer,
+                _k3d=(k_lo, k_hi),
+                _st3d=None if first else (ipiv, info, perm),
+            )
+        dn = (0,) if first else (0, 1, 2, 3)
+        return jax.jit(pf, donate_argnums=dn if donate else ())
+
+    pjits = [_part_fn(lo, hi, i == 0) for i, (lo, hi) in enumerate(parts)]
+
+    def fac(a):
+        if getattr(a, "ndim", 2) != 3:
+            return jfn(a)
+        res = pjits[0](a)
+        for pj in pjits[1:]:
+            res = pj(res.lu, res.ipiv, res.info, res.perm)
+        return res
+
+    return fac

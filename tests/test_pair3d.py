@@ -75,6 +75,38 @@ def test_pair_generators_match_2d():
         np.testing.assert_array_equal(a3.reshape(256, 256), a2)
 
 
+def test_pair3d_split_parts_bitexact(monkeypatch):
+    """Multi-part driver (round 5 compile-helper wall): make_mpf's split
+    wrapper — sequential jitted executables carrying state on-device —
+    must be BITWISE identical to the single-executable 3D driver."""
+    _patch(monkeypatch)
+    a = matgen.random_dense(N, seed=7).astype(np.float32)
+    ipiv1, perm1, lu1, info1 = _run(a, ALL_BF16, pairs=True)
+    monkeypatch.setattr(M, "_PAIR3D_SPLIT_COLS", 1)  # every column its own jit
+    assert len(M._pair3d_parts(N, R, ALL_BF16, BLOCK)) == N // BLOCK
+    fac = M.make_mpf.__wrapped__(N, r=R, policy=ALL_BF16, block=BLOCK,
+                                 donate=False)
+    av = jnp.asarray(a, jnp.float32).reshape(N // 2, 2, N)
+    with pltpu.force_tpu_interpret_mode():
+        res = fac(av)
+    out = jax.tree.map(np.asarray, res)
+    np.testing.assert_array_equal(out.ipiv, ipiv1)
+    np.testing.assert_array_equal(out.perm, perm1)
+    np.testing.assert_array_equal(
+        np.asarray(out.lu.reshape(N, N), np.float32), np.asarray(lu1))
+    assert int(out.info) == info1
+
+
+def test_pair3d_parts_ranges():
+    # 64k/block=1024 -> two ranges split at the 32-column boundary
+    parts = M._pair3d_parts(65536, 128, ALL_BF16, 1024)
+    assert parts == [(0, 32768), (32768, None)]
+    # small n -> single range, no wrapper
+    assert M._pair3d_parts(4096, 128, ALL_BF16, 1024) == [(0, None)]
+    # 32k bf16 (auto block 1024, 32 cols) stays single-executable
+    assert M._pair3d_parts(32768, 128, ALL_BF16, None) == [(0, None)]
+
+
 def test_pair3d_requires_fused_path(monkeypatch):
     _patch(monkeypatch)
     a = jnp.zeros((64, 2, 128), jnp.float32)
