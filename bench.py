@@ -71,7 +71,9 @@ def _measure_factor(n, r, block, policy, super_block="auto", gen=None,
         return fac(make(0))
 
     try:
-        secs, _ = time_fn(run, 0, warmup=1, iters=3)
+        # pair legs: rejit=False — the split driver is sequential jits and
+        # an outer jit would inline them into one over-the-wall module
+        secs, _ = time_fn(run, 0, warmup=1, iters=3, rejit=not pairs)
     except Exception as e:  # noqa: BLE001
         if super_block is None:
             raise

@@ -32,10 +32,22 @@ def _fingerprint(tree) -> jnp.ndarray:
     return total
 
 
-def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 3) -> Tuple[float, object]:
+def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 3,
+            rejit: bool = True) -> Tuple[float, object]:
     """Median wall-clock seconds of ``fn(*args)``, synchronized via a scalar
-    fingerprint fetch.  Returns (seconds, fingerprint_of_last_run)."""
-    g = jax.jit(lambda *a: _fingerprint(fn(*a)))
+    fingerprint fetch.  Returns (seconds, fingerprint_of_last_run).
+
+    ``rejit=False``: do NOT wrap ``fn`` in an outer jit — only the scalar
+    fingerprint reduce is jitted, and the fetch still forces completion of
+    everything it depends on.  REQUIRED for multi-part callables (the
+    pair-layout split driver, `models/mpf.make_mpf`): an outer jit inlines
+    the sequential part-jits back into ONE module, recreating exactly the
+    compile-helper module-size wall the split exists to stay under."""
+    if rejit:
+        g = jax.jit(lambda *a: _fingerprint(fn(*a)))
+    else:
+        jfp = jax.jit(_fingerprint)
+        g = lambda *a: jfp(fn(*a))  # noqa: E731
     fp = None
     for _ in range(warmup):
         fp = float(g(*args))

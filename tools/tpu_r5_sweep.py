@@ -129,8 +129,10 @@ def _time_leg3(n, policy_name, block, matrix, iters=3):
            else matgen.hpl_ai_matrix_device)
     fac = make_mpf(n, r=128, policy=_policy(policy_name), block=block,
                    donate=True)
+    # rejit=False: the pair driver may be multi-part (sequential jits);
+    # an outer jit would inline them into one over-the-wall module
     secs, _ = time_fn(lambda s: fac(gen(n, seed=s, pairs=True)), 0,
-                      warmup=1, iters=iters)
+                      warmup=1, iters=iters, rejit=False)
     gsecs, _ = time_fn(lambda s: gen(n, seed=s, pairs=True), 0,
                        warmup=1, iters=2)
     secs = max(secs - gsecs, 1e-9)
