@@ -64,7 +64,11 @@ def _measure_factor(n, r, block, policy, super_block="auto", gen=None,
     ov = 0 if pairs else defer_extension(n, r=r, policy=policy, block=block)
 
     def make(seed):
-        return (gen(n, seed=seed, pairs=True) if pairs
+        # pair legs generate in the WORKING dtype: the multi-part driver's
+        # first jit takes the matrix as an ARGUMENT (rejit=False), and an
+        # fp32 3D argument at 64k is 16 GB that cannot donation-alias the
+        # bf16 output (HBM OOM, tools/chip_logs_r5_p3t64d.log)
+        return (gen(n, seed=seed, pairs=True, dtype=policy.working) if pairs
                 else gen(n, seed=seed, ext_rows=ov))
 
     def run(_):

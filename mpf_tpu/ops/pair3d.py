@@ -392,10 +392,15 @@ def trailing_sub3(a3, l21_3, u12_3, ko, interpret=False, _ti=None,
                 if ko % c == 0 and m % c == 0)
 
     def _max_ti(t):
+        # 44 MB operand budget (was 72): Mosaic's scoped-vmem need also
+        # carries the f32 accumulator + f32 epilogue cast (~2*ti*t*4) on
+        # top of the double-buffered operand tiles — ti=4096/t=1024/kk=1024
+        # bf16 measured 101.79M against an 84M limit at the 64k driver
+        # shapes (tools/tpu_p3bisect_r5.py sub3 leg); ti=2048 fits.
         ti = _ti or _TRAILING_TI
         while ti > edge and (
             2 * 2 * ti * t * max(w_item, 2) + 2 * (ti + t) * kk * gd_item
-            > (72 << 20)
+            > (44 << 20)
         ):
             ti //= 2
         return max(ti, edge)

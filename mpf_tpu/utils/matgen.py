@@ -96,7 +96,7 @@ def hpl_ai_matrix(n: int, seed: int = 0, dtype=np.float32) -> np.ndarray:
 
 
 def hpl_ai_matrix_device(n: int, seed: int = 0, ext_rows: int = 0,
-                         pairs: bool = False):
+                         pairs: bool = False, dtype=None):
     """Device-side HPL-AI-style matrix (same class as :func:`hpl_ai_matrix`
     but generated with the JAX PRNG directly on the accelerator — host->device
     transfer of an n^2 matrix runs at ~10 MB/s through this session's TPU
@@ -111,7 +111,17 @@ def hpl_ai_matrix_device(n: int, seed: int = 0, ext_rows: int = 0,
     by the round-5 pair-layout driver (`models/mpf._factorize_3d`) —
     ELEMENTWISE IDENTICAL values (the JAX PRNG fills shapes of equal count
     in row-major order), generated directly in the 3D layout because an
-    XLA 2D->3D reshape materializes a relayout copy."""
+    XLA 2D->3D reshape materializes a relayout copy.
+
+    ``dtype``: output storage dtype.  Values are always COMPUTED in fp32
+    and cast once at the end — bit-identical to the driver's own
+    ``astype(policy.working)`` of an fp32 input.  Callers that hand the
+    result to a separately-jitted factorizer (the multi-part pair driver,
+    `time_fn(rejit=False)`) MUST pass the policy's working dtype: an fp32
+    (n/2, 2, n) argument is 16 GB at n=65536 and cannot donation-alias the
+    bf16 output, which is exactly the HBM OOM of
+    tools/chip_logs_r5_p3t64d.log (inside one jit, XLA fuses the cast into
+    the generator, which is why the 2D rejit=True legs never saw this)."""
     import jax
     import jax.numpy as jnp
 
@@ -130,13 +140,14 @@ def hpl_ai_matrix_device(n: int, seed: int = 0, ext_rows: int = 0,
         else:
             rows = jax.lax.broadcasted_iota(jnp.int32, (n + ext_rows, 1), 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-        return jnp.where(rows == cols, a + n / 4.0, a)
+        out = jnp.where(rows == cols, a + n / 4.0, a)
+        return out if dtype is None else out.astype(dtype)
 
     return gen(jax.random.PRNGKey(seed))
 
 
 def random_dense_device(n: int, seed: int = 0, ext_rows: int = 0,
-                        pairs: bool = False):
+                        pairs: bool = False, dtype=None):
     """Device-side uniform [0, 9.9] matrix — the reference corpus's value
     distribution (`matrix_generator.cpp:66`) at benchmark sizes.  Unlike the
     diagonally-dominant HPL-AI class, pivots move on essentially EVERY
@@ -151,7 +162,8 @@ def random_dense_device(n: int, seed: int = 0, ext_rows: int = 0,
     @jax.jit
     def gen(key):
         shape = ((n + ext_rows) // 2, 2, n) if pairs else (n + ext_rows, n)
-        return jax.random.uniform(key, shape, jnp.float32) * 9.9
+        out = jax.random.uniform(key, shape, jnp.float32) * 9.9
+        return out if dtype is None else out.astype(dtype)
 
     return gen(jax.random.PRNGKey(seed))
 

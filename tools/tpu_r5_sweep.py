@@ -127,13 +127,16 @@ def _time_leg3(n, policy_name, block, matrix, iters=3):
 
     gen = (matgen.random_dense_device if matrix == "uniform"
            else matgen.hpl_ai_matrix_device)
-    fac = make_mpf(n, r=128, policy=_policy(policy_name), block=block,
-                   donate=True)
-    # rejit=False: the pair driver may be multi-part (sequential jits);
-    # an outer jit would inline them into one over-the-wall module
-    secs, _ = time_fn(lambda s: fac(gen(n, seed=s, pairs=True)), 0,
+    pol = _policy(policy_name)
+    fac = make_mpf(n, r=128, policy=pol, block=block, donate=True)
+    # rejit=False: the pair driver may be multi-part (sequential jits) —
+    # an outer jit would inline them into one over-the-wall module.  The
+    # generator must emit the WORKING dtype (an fp32 3D arg is 16 GB at
+    # 64k and can't donation-alias the bf16 output -> HBM OOM).
+    wd = pol.working
+    secs, _ = time_fn(lambda s: fac(gen(n, seed=s, pairs=True, dtype=wd)), 0,
                       warmup=1, iters=iters, rejit=False)
-    gsecs, _ = time_fn(lambda s: gen(n, seed=s, pairs=True), 0,
+    gsecs, _ = time_fn(lambda s: gen(n, seed=s, pairs=True, dtype=wd), 0,
                        warmup=1, iters=2)
     secs = max(secs - gsecs, 1e-9)
     tf = tflops(n, secs)
