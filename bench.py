@@ -202,10 +202,13 @@ def main():
     # n=65536 with the ALL_BF16 policy.  Machine-readable every round.
     northstar_tflops = northstar_err = None
     ns_n = int(os.environ.get("BENCH_NORTHSTAR_N", "65536"))
-    # pair layout (round 5): 2-row exchange DMA granule — the chip-measured
-    # default for the bf16-working north star; BENCH_PAIRS=0 restores 2D,
-    # and any pair-leg failure falls back to the chip-proven 2D layout
-    ns_pairs = os.environ.get("BENCH_PAIRS", "1") == "1"
+    # pair layout (round 5): 2-row exchange DMA granule.  Default OFF —
+    # the 64k chip A/B LOST 4.9x (7173/7209 ms vs 2D 1474/1904,
+    # tools/chip_logs_r5_p3t64e.log: corpus-independent, i.e. the 3D
+    # trailing-GEMM path, not the exchange, is the bottleneck); the 2D
+    # layout remains the chip-proven north-star path.  BENCH_PAIRS=1
+    # opts in; any pair-leg failure still falls back to 2D.
+    ns_pairs = os.environ.get("BENCH_PAIRS", "0") == "1"
     if ns_n:
         # always its own measurement: the north-star gate is ALL_BF16 at
         # ns_n, never the MPF_BF16 headline number (different policy)
